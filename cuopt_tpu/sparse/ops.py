@@ -1,0 +1,292 @@
+"""TPU-native sparse linear operators for the constraint matrix A.
+
+The reference uses cusparse CSR SpMV (cpp/src/linear_programming/
+cusparse_view.hpp:30) for the PDHG hot pair Ax / A^T y. On TPU there is no
+sparse-matmul unit, so the operator is chosen per problem:
+
+  - DenseOp: A stored dense; matvec on the MXU. Best for small/dense
+    problems where n_rows * n_cols is modest.
+  - EllOp: ELLPACK (padded fixed-width rows) for A and for A^T. Gathers +
+    row-sum on the VPU; fully static shapes, XLA-friendly. Best when row
+    lengths are fairly uniform.
+  - CsrOp: flat nnz gather + segment-sum. O(nnz) regardless of skew; the
+    fallback when ELL padding would blow up memory.
+
+All operators are immutable pytrees (flax.struct) so they can be traced
+into jitted solvers, vmapped for batch solve, and sharded with
+jax.sharding for the multi-chip path.
+
+Scaling helper: every operator supports `rescale(row_scale, col_scale)`
+returning a new operator representing diag(r) @ A @ diag(c), used by Ruiz /
+Pock-Chambolle equilibration without round-tripping to host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class LinearOperator:
+    """Interface marker: matvec (A x), rmatvec (A^T y), rescale, abs_max."""
+
+
+@struct.dataclass
+class DenseOp(LinearOperator):
+    mat: jax.Array  # (n_rows, n_cols)
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    def matvec(self, x):
+        return self.mat @ x
+
+    def rmatvec(self, y):
+        return self.mat.T @ y
+
+    def rescale(self, row_scale, col_scale):
+        return DenseOp(mat=self.mat * row_scale[:, None] * col_scale[None, :])
+
+    def abs_max(self):
+        return jnp.max(jnp.abs(self.mat))
+
+    def row_abs_reduce(self, power):
+        """sum_j |a_ij|^power per row."""
+        return jnp.sum(jnp.abs(self.mat) ** power, axis=1)
+
+    def col_abs_reduce(self, power):
+        return jnp.sum(jnp.abs(self.mat) ** power, axis=0)
+
+    def row_abs_max(self):
+        return jnp.max(jnp.abs(self.mat), axis=1)
+
+    def col_abs_max(self):
+        return jnp.max(jnp.abs(self.mat), axis=0)
+
+
+@struct.dataclass
+class EllOp(LinearOperator):
+    """ELLPACK for A and A^T. Padded entries have value 0 and index 0."""
+
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+    # row-major ELL of A: (n_rows, Lr)
+    row_vals: jax.Array
+    row_cols: jax.Array
+    # row-major ELL of A^T: (n_cols, Lc)
+    col_vals: jax.Array
+    col_rows: jax.Array
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    def matvec(self, x):
+        return jnp.sum(self.row_vals * x[self.row_cols], axis=1)
+
+    def rmatvec(self, y):
+        return jnp.sum(self.col_vals * y[self.col_rows], axis=1)
+
+    def rescale(self, row_scale, col_scale):
+        return self.replace(
+            row_vals=self.row_vals
+            * row_scale[:, None]
+            * col_scale[self.row_cols],
+            col_vals=self.col_vals
+            * col_scale[:, None]
+            * row_scale[self.col_rows],
+        )
+
+    def abs_max(self):
+        return jnp.max(jnp.abs(self.row_vals))
+
+    def row_abs_reduce(self, power):
+        return jnp.sum(jnp.abs(self.row_vals) ** power, axis=1)
+
+    def col_abs_reduce(self, power):
+        return jnp.sum(jnp.abs(self.col_vals) ** power, axis=1)
+
+    def row_abs_max(self):
+        return jnp.max(jnp.abs(self.row_vals), axis=1)
+
+    def col_abs_max(self):
+        return jnp.max(jnp.abs(self.col_vals), axis=1)
+
+
+@struct.dataclass
+class CsrOp(LinearOperator):
+    """Flat gather + segment-sum SpMV; holds both CSR and CSC orderings."""
+
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+    # CSR ordering (row-sorted)
+    csr_vals: jax.Array  # (nnz,)
+    csr_rows: jax.Array  # (nnz,) row of each entry, sorted
+    csr_cols: jax.Array  # (nnz,)
+    # CSC ordering (col-sorted)
+    csc_vals: jax.Array
+    csc_rows: jax.Array
+    csc_cols: jax.Array  # sorted
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    def matvec(self, x):
+        prod = self.csr_vals * x[self.csr_cols]
+        return jax.ops.segment_sum(
+            prod, self.csr_rows, num_segments=self.n_rows,
+            indices_are_sorted=True,
+        )
+
+    def rmatvec(self, y):
+        prod = self.csc_vals * y[self.csc_rows]
+        return jax.ops.segment_sum(
+            prod, self.csc_cols, num_segments=self.n_cols,
+            indices_are_sorted=True,
+        )
+
+    def rescale(self, row_scale, col_scale):
+        return self.replace(
+            csr_vals=self.csr_vals
+            * row_scale[self.csr_rows]
+            * col_scale[self.csr_cols],
+            csc_vals=self.csc_vals
+            * row_scale[self.csc_rows]
+            * col_scale[self.csc_cols],
+        )
+
+    def abs_max(self):
+        if self.csr_vals.shape[0] == 0:
+            return jnp.zeros((), self.csr_vals.dtype)
+        return jnp.max(jnp.abs(self.csr_vals))
+
+    def row_abs_reduce(self, power):
+        return jax.ops.segment_sum(
+            jnp.abs(self.csr_vals) ** power, self.csr_rows,
+            num_segments=self.n_rows, indices_are_sorted=True,
+        )
+
+    def col_abs_reduce(self, power):
+        return jax.ops.segment_sum(
+            jnp.abs(self.csc_vals) ** power, self.csc_cols,
+            num_segments=self.n_cols, indices_are_sorted=True,
+        )
+
+    def row_abs_max(self):
+        return jax.ops.segment_max(
+            jnp.abs(self.csr_vals), self.csr_rows,
+            num_segments=self.n_rows, indices_are_sorted=True,
+        )
+
+    def col_abs_max(self):
+        return jax.ops.segment_max(
+            jnp.abs(self.csc_vals), self.csc_cols,
+            num_segments=self.n_cols, indices_are_sorted=True,
+        )
+
+
+# --------------------------------------------------------------------- build
+def _csr_to_ell(offsets, indices, values, n_rows, width, dtype):
+    counts = np.diff(offsets)
+    ell_vals = np.zeros((n_rows, width), dtype)
+    ell_idx = np.zeros((n_rows, width), np.int32)
+    # vectorized fill: position of each nnz within its row
+    if len(values):
+        pos_in_row = np.arange(len(values)) - np.repeat(offsets[:-1], counts)
+        rows = np.repeat(np.arange(n_rows), counts)
+        ell_vals[rows, pos_in_row] = values
+        ell_idx[rows, pos_in_row] = indices
+    return ell_vals, ell_idx
+
+
+def _transpose_csr(offsets, indices, values, n_rows, n_cols):
+    """CSR -> CSC (i.e. CSR of A^T) on host."""
+    nnz = len(values)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    order = np.argsort(indices, kind="stable")
+    t_offsets = np.zeros(n_cols + 1, np.int64)
+    np.add.at(t_offsets, indices + 1, 1)
+    np.cumsum(t_offsets, out=t_offsets)
+    return t_offsets, rows[order], values[order], nnz
+
+
+def build_operator(
+    offsets: np.ndarray,
+    indices: np.ndarray,
+    values: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    dtype=jnp.float64,
+    kind: str = "auto",
+    ell_padding_limit: float = 4.0,
+    dense_size_limit: int = 1 << 22,
+) -> LinearOperator:
+    """Build the best operator for this sparsity pattern.
+
+    kind: 'auto' | 'dense' | 'ell' | 'csr'.
+    auto: dense if n_rows*n_cols small; else ELL when padded size is within
+    ell_padding_limit x nnz; else CSR segment-sum.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    indices = np.asarray(indices, np.int64)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    values = np.asarray(values, np_dtype)
+    nnz = len(values)
+
+    if kind == "auto":
+        if n_rows * n_cols <= dense_size_limit:
+            kind = "dense"
+        else:
+            max_row = int(np.max(np.diff(offsets), initial=0))
+            t_offsets, _, _, _ = _transpose_csr(
+                offsets, indices, values, n_rows, n_cols
+            )
+            max_col = int(np.max(np.diff(t_offsets), initial=0))
+            padded = n_rows * max_row + n_cols * max_col
+            kind = "ell" if padded <= ell_padding_limit * 2 * max(nnz, 1) \
+                else "csr"
+
+    if kind == "dense":
+        A = np.zeros((n_rows, n_cols), np_dtype)
+        if nnz:
+            rows = np.repeat(
+                np.arange(n_rows, dtype=np.int64), np.diff(offsets)
+            )
+            np.add.at(A, (rows, indices), values)
+        return DenseOp(mat=jnp.asarray(A, dtype))
+
+    t_offsets, t_indices, t_values, _ = _transpose_csr(
+        offsets, indices, values, n_rows, n_cols
+    )
+    if kind == "ell":
+        wr = max(int(np.max(np.diff(offsets), initial=0)), 1)
+        wc = max(int(np.max(np.diff(t_offsets), initial=0)), 1)
+        rv, ri = _csr_to_ell(offsets, indices, values, n_rows, wr, np_dtype)
+        cv, ci = _csr_to_ell(
+            t_offsets, t_indices, t_values, n_cols, wc, np_dtype
+        )
+        return EllOp(
+            n_rows=n_rows, n_cols=n_cols,
+            row_vals=jnp.asarray(rv, dtype), row_cols=jnp.asarray(ri),
+            col_vals=jnp.asarray(cv, dtype), col_rows=jnp.asarray(ci),
+        )
+    if kind == "csr":
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+        csc_rows = t_indices
+        csc_cols = np.repeat(
+            np.arange(n_cols, dtype=np.int64), np.diff(t_offsets)
+        )
+        return CsrOp(
+            n_rows=n_rows, n_cols=n_cols,
+            csr_vals=jnp.asarray(values, dtype),
+            csr_rows=jnp.asarray(rows, np.int32),
+            csr_cols=jnp.asarray(indices, np.int32),
+            csc_vals=jnp.asarray(t_values, dtype),
+            csc_rows=jnp.asarray(csc_rows, np.int32),
+            csc_cols=jnp.asarray(csc_cols, np.int32),
+        )
+    raise ValueError(f"unknown operator kind {kind!r}")
