@@ -1,0 +1,112 @@
+"""Multi-chip sharding for the LP solver.
+
+The reference is a single-GPU engine (SURVEY.md section 2.9); multi-chip
+scaling is the new TPU-native capability. Design (north star in
+BASELINE.json): partition the constraint matrix by ROW blocks across the
+mesh. Then, in the PDHG step:
+
+  - A x      : rows sharded, x replicated -> each chip computes its row
+               block locally; result y-space vectors stay row-sharded.
+  - A^T y    : each chip computes a partial over its rows; XLA/GSPMD
+               inserts the psum (reduce over 'rows') producing the
+               replicated x-space result.
+  - scalars (step size, primal weight, norms) are replicated; the dot
+    products and norms over sharded vectors become partial-reduce + psum.
+
+Everything flows from data placement: we commit the arrays with
+NamedShardings and jit-compiled GSPMD propagates shardings through the
+whole major iteration (fori/while loops included) inserting collectives
+over ICI. No explicit collectives are needed in the solver code.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuopt_tpu.lp.pdlp import DeviceProblem, SolverState
+from cuopt_tpu.sparse.ops import CsrOp, DenseOp, EllOp
+
+ROW_AXIS = "rows"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (ROW_AXIS,))
+
+
+def _shard_operator(op, mesh: Mesh):
+    """Row-partition the operator. Dense: row blocks. ELL: row-ELL arrays
+    row-sharded; the transpose ELL (used for A^T y) gathers from the
+    row-sharded y, which GSPMD resolves with an all-gather — acceptable
+    for the dryrun; the production path is the Pallas block-SpMV kernel."""
+    row = NamedSharding(mesh, P(ROW_AXIS))
+    row2 = NamedSharding(mesh, P(ROW_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    if isinstance(op, DenseOp):
+        return DenseOp(mat=jax.device_put(op.mat, row2))
+    if isinstance(op, EllOp):
+        return op.replace(
+            row_vals=jax.device_put(op.row_vals, row2),
+            row_cols=jax.device_put(op.row_cols, row2),
+            col_vals=jax.device_put(op.col_vals, rep),
+            col_rows=jax.device_put(op.col_rows, rep),
+        )
+    if isinstance(op, CsrOp):
+        # nnz-dim arrays are not row-partitionable without rebalancing;
+        # replicate for the dryrun
+        return jax.device_put(op, rep)
+    return jax.device_put(op, rep)
+
+
+def shard_problem_and_state(
+    dev: DeviceProblem, state: SolverState, mesh: Mesh
+):
+    """Commit problem + solver state with the row-partition layout."""
+    row = NamedSharding(mesh, P(ROW_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def put_rows(x):
+        return jax.device_put(x, row)
+
+    def put_rep(x):
+        return jax.device_put(x, rep)
+
+    dev_sharded = dev.replace(
+        op=_shard_operator(dev.op, mesh),
+        c=put_rep(dev.c), lv=put_rep(dev.lv), uv=put_rep(dev.uv),
+        lc=put_rows(dev.lc), uc=put_rows(dev.uc),
+        lv_fin=put_rep(dev.lv_fin), uv_fin=put_rep(dev.uv_fin),
+        lc_fin=put_rows(dev.lc_fin), uc_fin=put_rows(dev.uc_fin),
+        lv0=put_rep(dev.lv0), uv0=put_rep(dev.uv0),
+        lc0=put_rows(dev.lc0), uc0=put_rows(dev.uc0),
+        c_orig=put_rep(dev.c_orig),
+        lv_orig=put_rep(dev.lv_orig), uv_orig=put_rep(dev.uv_orig),
+        lc_orig=put_rows(dev.lc_orig), uc_orig=put_rows(dev.uc_orig),
+        lv0_orig=put_rep(dev.lv0_orig), uv0_orig=put_rep(dev.uv0_orig),
+        lc0_orig=put_rows(dev.lc0_orig), uc0_orig=put_rows(dev.uc0_orig),
+        row_scale=put_rows(dev.row_scale),
+        col_scale=put_rep(dev.col_scale),
+        offset=put_rep(dev.offset),
+    )
+    state_sharded = state.replace(
+        x=put_rep(state.x), y=put_rows(state.y),
+        ax=put_rows(state.ax), aty=put_rep(state.aty),
+        step_size=put_rep(state.step_size),
+        primal_weight=put_rep(state.primal_weight),
+        sum_weights=put_rep(state.sum_weights),
+        avg_x=put_rep(state.avg_x), avg_y=put_rows(state.avg_y),
+        avg_ax=put_rows(state.avg_ax), avg_aty=put_rep(state.avg_aty),
+        x_last_restart=put_rep(state.x_last_restart),
+        y_last_restart=put_rows(state.y_last_restart),
+        last_restart_kkt=put_rep(state.last_restart_kkt),
+        last_candidate_kkt=put_rep(state.last_candidate_kkt),
+        iters_since_restart=put_rep(state.iters_since_restart),
+        total_steps=put_rep(state.total_steps),
+        total_attempts=put_rep(state.total_attempts),
+        numerical_error=put_rep(state.numerical_error),
+    )
+    return dev_sharded, state_sharded

@@ -1,0 +1,66 @@
+"""Synthetic LP instance generator.
+
+Used by benchmarks and the multichip dryrun (the reference ships a synthetic
+routing generator, cpp/src/routing/generator/, and pulls LP instances from
+the network; offline we synthesize feasible LPs with known structure).
+
+Generates a random sparse LP with a known feasible point:
+    min c^T x   s.t.   A x <= b,  0 <= x <= u
+where b = A x0 + slack for a random interior x0, guaranteeing feasibility
+and boundedness (c >= 0 component mix with bounded x).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cuopt_tpu.problem.data_model import OptimizationProblem
+
+
+def generate_lp(
+    n_rows: int,
+    n_cols: int,
+    nnz_per_row: int = 8,
+    seed: int = 0,
+    equality_fraction: float = 0.0,
+) -> OptimizationProblem:
+    rng = np.random.default_rng(seed)
+    cols = np.empty((n_rows, nnz_per_row), np.int64)
+    for i in range(n_rows):
+        # distinct columns per row; cheap reservoir for wide rows
+        cols[i] = rng.choice(n_cols, size=nnz_per_row, replace=False) \
+            if nnz_per_row <= n_cols else rng.integers(0, n_cols, nnz_per_row)
+    vals = rng.standard_normal((n_rows, nnz_per_row))
+    offsets = np.arange(n_rows + 1, dtype=np.int64) * nnz_per_row
+
+    x0 = rng.uniform(0.2, 0.8, n_cols)
+    ax0 = np.zeros(n_rows)
+    for i in range(n_rows):
+        ax0[i] = vals[i] @ x0[cols[i]]
+    slack = rng.uniform(0.1, 1.0, n_rows)
+    n_eq = int(equality_fraction * n_rows)
+    ub = ax0 + slack
+    lb = np.full(n_rows, -np.inf)
+    if n_eq:
+        ub[:n_eq] = ax0[:n_eq]
+        lb[:n_eq] = ax0[:n_eq]
+    c = rng.uniform(0.0, 1.0, n_cols)
+
+    return OptimizationProblem(
+        offsets=offsets,
+        indices=cols.reshape(-1),
+        values=vals.reshape(-1),
+        objective_coefficients=c,
+        constraint_lower_bounds=lb,
+        constraint_upper_bounds=ub,
+        row_types=np.where(
+            np.arange(n_rows) < n_eq, "E", "L"
+        ).astype("U1"),
+        rhs=ub.copy(),
+        variable_lower_bounds=np.zeros(n_cols),
+        variable_upper_bounds=np.ones(n_cols),
+        variable_types=np.full(n_cols, "C", "U1"),
+        variable_names=[f"x{j}" for j in range(n_cols)],
+        row_names=[f"r{i}" for i in range(n_rows)],
+        problem_name=f"synth_{n_rows}x{n_cols}",
+    )
