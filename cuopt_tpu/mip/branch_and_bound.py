@@ -1,0 +1,214 @@
+"""Branch & bound over LP relaxations.
+
+Mirrors the reference host B&B (cpp/src/dual_simplex/branch_and_bound.hpp
+`branch_and_bound_t`: best-first std::priority_queue of mip_node_t,
+incumbent exchange callbacks). Differences, by design:
+
+  - node relaxations are solved by the device PDLP with tightened
+    tolerances (the reference uses CPU dual simplex; the native simplex
+    lands separately and will slot in here for exact bounds);
+  - node LPs share one compiled PDLP kernel (identical shapes, only the
+    bound vectors change) and warm-start from the parent's solution —
+    the TPU analogue of dual-simplex warm bases;
+  - bound-propagation presolve runs at every node (reference probes via
+    GPU bound propagation, bounds_presolve.cuh).
+
+Branching: most-fractional (pseudo-cost branching is a follow-up).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from cuopt_tpu import constants as C
+from cuopt_tpu.lp.pdlp import PdlpSolver
+from cuopt_tpu.lp.settings import PDLPSolverSettings
+from cuopt_tpu.mip.presolve import propagate_bounds
+from cuopt_tpu.mip.rounding import is_feasible
+from cuopt_tpu.utils.logger import get_logger
+
+
+@dataclass(order=True)
+class _Node:
+    bound: float
+    seq: int
+    lv: np.ndarray = field(compare=False)
+    uv: np.ndarray = field(compare=False)
+    x_warm: np.ndarray | None = field(compare=False, default=None)
+    y_warm: np.ndarray | None = field(compare=False, default=None)
+    depth: int = field(compare=False, default=0)
+
+
+class BranchAndBound:
+    def __init__(self, prob, mip_settings, node_lp_tol=1e-6,
+                 max_nodes=100_000):
+        self.prob = prob
+        self.settings = mip_settings
+        self.node_lp_tol = node_lp_tol
+        self.max_nodes = max_nodes
+        self.log = get_logger()
+        self.is_int = prob.variable_types == "I"
+        self.int_tol = mip_settings.tolerances.integrality_tolerance
+        self.incumbent = None
+        self.incumbent_obj = math.inf  # internal minimize orientation
+        self.best_bound = -math.inf
+        self.nodes_explored = 0
+        self.simplex_iters = 0
+        self.solution_callbacks = []
+
+    # internal orientation: minimize (maximize already negated by caller)
+    def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
+                          timer=None):
+        sub = self.prob
+        node_prob = type(sub)(
+            offsets=sub.offsets, indices=sub.indices, values=sub.values,
+            objective_coefficients=sub.objective_coefficients,
+            objective_offset=sub.objective_offset,
+            maximize=False,
+            constraint_lower_bounds=sub.constraint_lower_bounds,
+            constraint_upper_bounds=sub.constraint_upper_bounds,
+            row_types=sub.row_types, rhs=sub.rhs,
+            variable_lower_bounds=lv, variable_upper_bounds=uv,
+            variable_types=sub.variable_types,
+            variable_names=sub.variable_names, row_names=sub.row_names,
+        )
+        s = PDLPSolverSettings()
+        s.method = C.CUOPT_METHOD_PDLP
+        s.set_optimality_tolerance(self.node_lp_tol)
+        s.detect_infeasibility = True
+        s.iteration_limit = 50_000
+        if timer is not None:
+            s.time_limit = max(timer.remaining(), 0.5)
+        s.initial_primal_solution = x_warm
+        s.initial_dual_solution = y_warm
+        raw = PdlpSolver(node_prob, s).run()
+        self.simplex_iters += raw["iterations"]
+        return raw
+
+    def _propagate(self, lv, uv):
+        p = self.prob
+        return propagate_bounds(
+            p.offsets, p.indices, p.values,
+            p.constraint_lower_bounds, p.constraint_upper_bounds,
+            lv, uv, self.is_int, max_rounds=5,
+        )
+
+    def set_incumbent(self, x, obj):
+        """External (heuristic) incumbent injection, reference
+        population.add_external_solution / set_new_solution."""
+        if obj < self.incumbent_obj - 1e-12:
+            self.incumbent = np.asarray(x, float)
+            self.incumbent_obj = float(obj)
+            for cb in self.solution_callbacks:
+                cb(self.incumbent, self.incumbent_obj)
+
+    def _gap_closed(self):
+        t = self.settings.tolerances
+        if self.incumbent is None:
+            return False
+        gap = self.incumbent_obj - self.best_bound
+        return gap <= t.absolute_mip_gap + t.relative_mip_gap * max(
+            abs(self.incumbent_obj), 1e-10
+        )
+
+    def solve(self, timer, halt=None):
+        """Best-first search. Returns dict with incumbent/bound/status."""
+        prob = self.prob
+        seq = 0
+        root_lv = prob.variable_lower_bounds.copy()
+        root_uv = prob.variable_upper_bounds.copy()
+        pres = self._propagate(root_lv, root_uv)
+        if pres.infeasible:
+            return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
+        heap = [_Node(-math.inf, seq, pres.lv, pres.uv)]
+        while heap:
+            if timer.expired() or (halt is not None and halt.is_set()):
+                break
+            if self.nodes_explored >= self.max_nodes:
+                break
+            node = heapq.heappop(heap)
+            # best-first: heap top is the global bound
+            self.best_bound = max(self.best_bound, node.bound) \
+                if node.bound > -math.inf else self.best_bound
+            if self.incumbent is not None and node.bound >= (
+                self.incumbent_obj - 1e-12
+            ):
+                self.best_bound = self.incumbent_obj
+                break
+            raw = self._solve_relaxation(
+                node.lv, node.uv, node.x_warm, node.y_warm, timer
+            )
+            self.nodes_explored += 1
+            if raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
+                continue
+            if raw["status"] not in (
+                C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+            ):
+                # unresolved node (limit hit): keep conservative bound
+                continue
+            bound = raw["dual_objective"]
+            if self.incumbent is not None and bound >= (
+                self.incumbent_obj - 1e-12
+            ):
+                continue  # prune by bound
+            x = raw["primal_solution"]
+            frac = np.abs(x - np.round(x))
+            frac = np.where(self.is_int, frac, 0.0)
+            j = int(np.argmax(frac))
+            if frac[j] <= self.int_tol:
+                # integral: candidate incumbent
+                xi = np.where(self.is_int, np.round(x), x)
+                xi = np.clip(xi, node.lv, node.uv)
+                if is_feasible(prob, xi):
+                    obj = float(
+                        prob.objective_coefficients @ xi
+                        + prob.objective_offset
+                    )
+                    self.set_incumbent(xi, obj)
+                continue
+            # branch on most fractional variable
+            for child_dir in ("down", "up"):
+                lv2 = node.lv.copy()
+                uv2 = node.uv.copy()
+                if child_dir == "down":
+                    uv2[j] = math.floor(x[j])
+                else:
+                    lv2[j] = math.ceil(x[j])
+                if lv2[j] > uv2[j]:
+                    continue
+                pres = self._propagate(lv2, uv2)
+                if pres.infeasible:
+                    continue
+                seq += 1
+                heapq.heappush(heap, _Node(
+                    bound, seq, pres.lv, pres.uv,
+                    x_warm=x, y_warm=raw["dual_solution"],
+                    depth=node.depth + 1,
+                ))
+            if self._gap_closed():
+                break
+        else:
+            # heap exhausted: search complete
+            if self.incumbent is not None:
+                self.best_bound = self.incumbent_obj
+        if self._gap_closed() or (not heap and self.incumbent is not None):
+            return self._result(C.CUOPT_TERIMINATION_STATUS_OPTIMAL)
+        if not heap and self.incumbent is None:
+            return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
+        if self.incumbent is not None:
+            return self._result(C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND)
+        return self._result(C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT)
+
+    def _result(self, status):
+        return {
+            "status": status,
+            "incumbent": self.incumbent,
+            "incumbent_obj": self.incumbent_obj,
+            "best_bound": self.best_bound,
+            "nodes": self.nodes_explored,
+            "simplex_iters": self.simplex_iters,
+        }

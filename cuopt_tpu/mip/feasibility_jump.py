@@ -1,0 +1,234 @@
+"""Feasibility Jump: TPU-native weighted-violation hill climber for MIP.
+
+Re-designs the reference FJ engine (cpp/src/mip/feasibility_jump/
+feasibility_jump.cuh `fj_t`, ~4.2k LoC of CUDA kernels with load-balanced
+move evaluation and multiple parallel "climbers") the TPU way:
+
+  - move candidates for EVERY variable are scored in one dense
+    (n_vars x n_candidates) tensor op built from the ELL adjacency —
+    the analogue of the reference's load-balanced per-variable kernels;
+  - the climb loop is a `lax.fori_loop` inside one jitted chunk;
+  - independent climbers (different roundings/seeds/weights) are `vmap`ed
+    into a single program — the analogue of fj climbers on separate CUDA
+    blocks.
+
+Algorithm (Luteberget-style FJ): keep per-constraint weights w; each step
+move the variable/value with the best weighted-violation decrease
+(breakpoint candidates per incident row); at a local minimum, bump the
+weights of violated rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class FjProblem:
+    # ELL of A (rows): values/cols, padded with 0
+    row_vals: jax.Array  # (n, L)
+    row_cols: jax.Array
+    # ELL of A^T (vars -> incident rows)
+    col_vals: jax.Array  # (m, Lc)
+    col_rows: jax.Array
+    col_mask: jax.Array  # (m, Lc) True where a real entry
+    lc0: jax.Array  # (n,) finite-filled
+    uc0: jax.Array
+    lc_fin: jax.Array
+    uc_fin: jax.Array
+    c: jax.Array  # (m,)
+    lv: jax.Array
+    uv: jax.Array
+    is_int: jax.Array  # (m,) bool
+
+
+@struct.dataclass
+class FjState:
+    x: jax.Array  # (m,)
+    act: jax.Array  # (n,)
+    w: jax.Array  # (n,) constraint weights
+    best_x: jax.Array
+    best_obj: jax.Array
+    has_feasible: jax.Array  # bool
+    key: jax.Array
+    steps: jax.Array
+
+
+def _violation(act, p: FjProblem):
+    lo = jnp.where(p.lc_fin, jnp.maximum(p.lc0 - act, 0.0), 0.0)
+    hi = jnp.where(p.uc_fin, jnp.maximum(act - p.uc0, 0.0), 0.0)
+    return lo + hi
+
+
+def make_fj_problem(prob, dtype=jnp.float64) -> FjProblem:
+    """Build the FJ device problem from a host OptimizationProblem."""
+    from cuopt_tpu.sparse.ops import _csr_to_ell, _transpose_csr
+
+    n, m = prob.n_constraints, prob.n_variables
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    L = max(int(np.max(np.diff(prob.offsets), initial=0)), 1)
+    rv, ri = _csr_to_ell(
+        prob.offsets, prob.indices, prob.values, n, L, np_dtype
+    )
+    t_off, t_idx, t_val, _ = _transpose_csr(
+        prob.offsets, prob.indices, prob.values, n, m
+    )
+    Lc = max(int(np.max(np.diff(t_off), initial=0)), 1)
+    cv, cr = _csr_to_ell(t_off, t_idx, t_val, m, Lc, np_dtype)
+    cmask = cv != 0.0
+    lc = np.asarray(prob.constraint_lower_bounds, np_dtype)
+    uc = np.asarray(prob.constraint_upper_bounds, np_dtype)
+    sign = -1.0 if prob.maximize else 1.0
+    return FjProblem(
+        row_vals=jnp.asarray(rv), row_cols=jnp.asarray(ri),
+        col_vals=jnp.asarray(cv), col_rows=jnp.asarray(cr),
+        col_mask=jnp.asarray(cmask),
+        lc0=jnp.asarray(np.where(np.isfinite(lc), lc, 0.0)),
+        uc0=jnp.asarray(np.where(np.isfinite(uc), uc, 0.0)),
+        lc_fin=jnp.asarray(np.isfinite(lc)),
+        uc_fin=jnp.asarray(np.isfinite(uc)),
+        c=jnp.asarray(sign * prob.objective_coefficients, dtype),
+        lv=jnp.asarray(prob.variable_lower_bounds, dtype),
+        uv=jnp.asarray(prob.variable_upper_bounds, dtype),
+        is_int=jnp.asarray(prob.variable_types == "I"),
+    )
+
+
+def init_state(p: FjProblem, x0, seed) -> FjState:
+    x = jnp.clip(jnp.asarray(x0, p.c.dtype), p.lv, p.uv)
+    x = jnp.where(p.is_int, jnp.round(x), x)
+    act = jnp.sum(p.row_vals * x[p.row_cols], axis=1)
+    big = jnp.asarray(jnp.finfo(p.c.dtype).max, p.c.dtype)
+    viol = jnp.sum(_violation(act, p))
+    feas = viol <= 1e-6
+    obj = jnp.dot(p.c, x)
+    return FjState(
+        x=x, act=act, w=jnp.ones_like(act),
+        best_x=x,
+        best_obj=jnp.where(feas, obj, big),
+        has_feasible=feas,
+        key=jax.random.PRNGKey(seed),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def _fj_step(p: FjProblem, s: FjState, obj_weight):
+    m, Lc = p.col_vals.shape
+    dtype = s.x.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+
+    # --- candidate jump values per variable ---
+    act_j = s.act[p.col_rows]  # (m, Lc)
+    a = p.col_vals
+    safe_a = jnp.where(p.col_mask, a, 1.0)
+    target = jnp.clip(act_j, p.lc0[p.col_rows], p.uc0[p.col_rows])
+    # move that puts incident row exactly at its nearest bound
+    t_bp = s.x[:, None] + (target - act_j) / safe_a  # (m, Lc)
+    cands = [t_bp, jnp.floor(t_bp), jnp.ceil(t_bp),
+             (s.x + 1.0)[:, None], (s.x - 1.0)[:, None]]
+    T = jnp.concatenate(cands, axis=1)  # (m, K)
+    K = T.shape[1]
+    T = jnp.clip(T, p.lv[:, None], p.uv[:, None])
+    T = jnp.where(p.is_int[:, None], jnp.round(T), T)
+
+    # --- score all candidates: delta weighted violation over incident rows
+    dx = T - s.x[:, None]  # (m, K)
+    # (m, Lc, K): activity change of row cr[j,k] when x_j -> T[j,q]
+    d_act = a[:, :, None] * dx[:, None, :]
+    act_new = act_j[:, :, None] + d_act
+    lc0r = p.lc0[p.col_rows][:, :, None]
+    uc0r = p.uc0[p.col_rows][:, :, None]
+    lfin = p.lc_fin[p.col_rows][:, :, None]
+    ufin = p.uc_fin[p.col_rows][:, :, None]
+    viol_new = (
+        jnp.where(lfin, jnp.maximum(lc0r - act_new, 0.0), 0.0)
+        + jnp.where(ufin, jnp.maximum(act_new - uc0r, 0.0), 0.0)
+    )
+    viol_old = (
+        jnp.where(lfin, jnp.maximum(lc0r - act_j[:, :, None], 0.0), 0.0)
+        + jnp.where(ufin, jnp.maximum(act_j[:, :, None] - uc0r, 0.0), 0.0)
+    )
+    wj = (s.w[p.col_rows] * p.col_mask)[:, :, None]
+    score = jnp.sum(wj * (viol_new - viol_old), axis=1)  # (m, K)
+    score = score + obj_weight * p.c[:, None] * dx
+    score = jnp.where(dx == 0.0, big, score)
+
+    flat = jnp.argmin(score)
+    j_star = flat // K
+    q_star = flat % K
+    best_score = score[j_star, q_star]
+    t_star = T[j_star, q_star]
+
+    def apply_move(s):
+        dxs = t_star - s.x[j_star]
+        x_new = s.x.at[j_star].set(t_star)
+        rows = p.col_rows[j_star]
+        deltas = jnp.where(p.col_mask[j_star], p.col_vals[j_star] * dxs, 0.0)
+        act_new_ = s.act.at[rows].add(deltas)
+        return s.replace(x=x_new, act=act_new_)
+
+    def bump_weights(s):
+        v = _violation(s.act, p)
+        w_new = s.w + jnp.where(v > 0, 1.0 + v, 0.0)
+        # occasional random restart kick: jump one random int var
+        key, sub = jax.random.split(s.key)
+        return s.replace(w=w_new, key=key)
+
+    improving = best_score < -1e-9
+    s = jax.lax.cond(improving, apply_move, bump_weights, s)
+
+    # track incumbents
+    viol_tot = jnp.sum(_violation(s.act, p))
+    feas = viol_tot <= 1e-6
+    obj = jnp.dot(p.c, s.x)
+    better = jnp.logical_and(feas, obj < s.best_obj)
+    return s.replace(
+        best_x=jnp.where(better, s.x, s.best_x),
+        best_obj=jnp.where(better, obj, s.best_obj),
+        has_feasible=jnp.logical_or(s.has_feasible, feas),
+        steps=s.steps + 1,
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def fj_chunk(p: FjProblem, states: FjState, n_steps: int, obj_weight: float):
+    """Run n_steps FJ iterations on a BATCH of climbers (vmapped)."""
+
+    def one(s):
+        return jax.lax.fori_loop(
+            0, n_steps, lambda i, st: _fj_step(p, st, obj_weight), s
+        )
+
+    return jax.vmap(one)(states)
+
+
+def run_feasibility_jump(
+    prob, x_starts, time_budget_s, seed=0, dtype=jnp.float64,
+    steps_per_chunk=64, obj_weight=1e-3,
+):
+    """Host driver: batch of climbers from the given starting points,
+    chunked until the time budget is spent. Returns (best_x, best_obj,
+    found) in the INTERNAL minimize orientation."""
+    import time
+
+    p = make_fj_problem(prob, dtype)
+    states = [init_state(p, x0, seed + i) for i, x0 in enumerate(x_starts)]
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    t_end = time.monotonic() + time_budget_s
+    while True:
+        batch = fj_chunk(p, batch, steps_per_chunk, obj_weight)
+        found = bool(jnp.any(batch.has_feasible))
+        if time.monotonic() >= t_end:
+            break
+    objs = np.asarray(batch.best_obj)
+    xs = np.asarray(batch.best_x)
+    found = np.asarray(batch.has_feasible)
+    if not found.any():
+        return None, np.inf, False
+    k = int(np.argmin(np.where(found, objs, np.inf)))
+    return xs[k], float(objs[k]), True

@@ -1,0 +1,233 @@
+"""MIP solve orchestration.
+
+Mirrors reference cpp/src/mip/solve.cu (`run_mip` :67, `solve_mip` :155)
+and solver.cu (`run_solver` :84): scaling/presolve, then GPU heuristics
+running alongside a host B&B with incumbent exchange both ways. Here the
+heuristic engine (roundings + vmapped feasibility jump) runs on-device
+and the B&B drives device LP relaxations; incumbents flow through
+`BranchAndBound.set_incumbent` / solution callbacks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from cuopt_tpu import constants as C
+from cuopt_tpu.lp.settings import MIPSolverSettings, PDLPSolverSettings
+from cuopt_tpu.lp.solution import Solution
+from cuopt_tpu.mip.presolve import propagate_bounds
+from cuopt_tpu.mip.rounding import is_feasible, make_roundings
+from cuopt_tpu.utils.logger import get_logger, solve_log_context
+from cuopt_tpu.utils.timer import Timer
+
+
+def _internal_minimize(prob):
+    """Return a minimize-orientation copy (maximize handled by negation,
+    like the device problem build)."""
+    if not prob.maximize:
+        return prob, 1.0
+    q = type(prob)(
+        offsets=prob.offsets, indices=prob.indices, values=prob.values,
+        objective_coefficients=-prob.objective_coefficients,
+        objective_offset=-prob.objective_offset,
+        maximize=False,
+        constraint_lower_bounds=prob.constraint_lower_bounds,
+        constraint_upper_bounds=prob.constraint_upper_bounds,
+        row_types=prob.row_types, rhs=prob.rhs,
+        variable_lower_bounds=prob.variable_lower_bounds,
+        variable_upper_bounds=prob.variable_upper_bounds,
+        variable_types=prob.variable_types,
+        variable_names=prob.variable_names, row_names=prob.row_names,
+    )
+    return q, -1.0
+
+
+def solve_mip(prob, settings: MIPSolverSettings | None = None) -> Solution:
+    settings = settings or MIPSolverSettings()
+    log = get_logger()
+    with solve_log_context(settings.log_file or None,
+                           settings.log_to_console):
+        prob.validate()
+        timer = Timer(settings.time_limit)
+        raw = _run_mip(prob, settings, timer, log)
+        sol = Solution(prob, raw)
+        if settings.solution_file:
+            sol.write_to_sol_file(settings.solution_file)
+        log.info(
+            f"MIP solve done: status={sol.get_termination_reason()} "
+            f"obj={raw.get('primal_objective', float('nan')):.10g} "
+            f"bound={raw.get('solution_bound', float('nan')):.10g} "
+            f"nodes={raw.get('nodes', 0)} time={timer.elapsed():.2f}s"
+        )
+        return sol
+
+
+def _make_raw(prob, sign, x, obj, bound, status, nodes=0, iters=0,
+              timer=None):
+    is_int = prob.variable_types == "I"
+    if x is not None:
+        x = np.asarray(x, float)
+        x = np.where(is_int, np.round(x), x)
+    gap = math.inf
+    if x is not None and math.isfinite(bound):
+        gap = abs(obj - bound) / max(abs(obj), 1e-10)
+    return {
+        "status": status,
+        "iterations": iters,
+        "attempts": 0,
+        "nodes": nodes,
+        "solve_time": timer.elapsed() if timer else 0.0,
+        "primal_solution": x if x is not None else np.zeros(
+            prob.n_variables
+        ),
+        "dual_solution": None,
+        "reduced_cost": None,
+        "primal_objective": sign * obj if x is not None else math.nan,
+        "dual_objective": sign * bound if math.isfinite(bound)
+        else math.nan,
+        "gap": gap,
+        "mip_gap": gap,
+        "solution_bound": sign * bound if math.isfinite(bound)
+        else math.nan,
+        "l2_primal_residual": 0.0,
+        "l2_dual_residual": 0.0,
+        "linf_primal_residual": 0.0,
+        "linf_dual_residual": 0.0,
+    }
+
+
+def _run_mip(prob, settings, timer, log):
+    import jax.numpy as jnp
+
+    from cuopt_tpu.lp.pdlp import PdlpSolver
+    from cuopt_tpu.mip.branch_and_bound import BranchAndBound
+    from cuopt_tpu.mip.feasibility_jump import run_feasibility_jump
+
+    pint, sign = _internal_minimize(prob)
+    is_int = pint.variable_types == "I"
+    m, n = pint.n_variables, pint.n_constraints
+
+    # ---- trivial cases ----
+    if m == 0 or n == 0:
+        from cuopt_tpu.lp.solve import _solve_no_constraints
+
+        raw = _solve_no_constraints(prob)
+        raw["mip_gap"] = 0.0
+        raw["solution_bound"] = raw["primal_objective"]
+        raw["nodes"] = 0
+        return raw
+
+    # ---- presolve: bound propagation ----
+    pres = propagate_bounds(
+        pint.offsets, pint.indices, pint.values,
+        pint.constraint_lower_bounds, pint.constraint_upper_bounds,
+        pint.variable_lower_bounds, pint.variable_upper_bounds,
+        is_int, max_rounds=10,
+        int_tol=settings.tolerances.integrality_tolerance,
+    )
+    if pres.infeasible:
+        return _make_raw(
+            prob, sign, None, math.nan, -math.inf,
+            C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
+        )
+    pint.variable_lower_bounds = pres.lv
+    pint.variable_upper_bounds = pres.uv
+
+    # all variables fixed by presolve?
+    if np.all(pres.lv >= pres.uv - 1e-9):
+        x = (pres.lv + pres.uv) / 2
+        x = np.where(is_int, np.round(x), x)
+        if is_feasible(pint, x):
+            obj = float(pint.objective_coefficients @ x
+                        + pint.objective_offset)
+            return _make_raw(
+                prob, sign, x, obj, obj,
+                C.CUOPT_TERIMINATION_STATUS_OPTIMAL, timer=timer,
+            )
+        return _make_raw(
+            prob, sign, None, math.nan, -math.inf,
+            C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
+        )
+
+    # ---- root LP relaxation ----
+    lp_settings = PDLPSolverSettings()
+    lp_settings.method = C.CUOPT_METHOD_PDLP
+    lp_settings.set_optimality_tolerance(1e-6)
+    lp_settings.detect_infeasibility = True
+    lp_settings.iteration_limit = 100_000
+    if math.isfinite(timer.remaining()):
+        lp_settings.time_limit = max(0.25 * timer.remaining(), 1.0)
+    lp_settings.dtype = settings.dtype
+    root = PdlpSolver(pint, lp_settings).run()
+    if root["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
+        return _make_raw(
+            prob, sign, None, math.nan, -math.inf,
+            C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
+        )
+    x_relax = root["primal_solution"]
+    root_bound = root["dual_objective"] if root["status"] == \
+        C.CUOPT_TERIMINATION_STATUS_OPTIMAL else -math.inf
+
+    # ---- heuristics: roundings + feasibility jump ----
+    incumbent, incumbent_obj = None, math.inf
+    starts = make_roundings(pint, x_relax, n_random=5)
+    for xr in starts:
+        if is_feasible(pint, xr):
+            obj = float(pint.objective_coefficients @ xr
+                        + pint.objective_offset)
+            if obj < incumbent_obj:
+                incumbent, incumbent_obj = xr, obj
+    # FJ budget: bounded slice of remaining time, scaled to problem size
+    # (tiny problems don't deserve seconds of hill climbing)
+    rem = timer.remaining()
+    size_cap = 0.5 + 0.002 * m + 1e-6 * pint.nnz
+    fj_budget = min(
+        3.0 if not math.isfinite(rem) else max(min(0.2 * rem, 10.0), 0.5),
+        size_cap,
+    )
+    if incumbent is not None and m < 50:
+        fj_budget = 0.0  # roundings already produced a solution
+    dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
+    if fj_budget > 0:
+        try:
+            xfj, objfj, found = run_feasibility_jump(
+                pint, starts[:8], fj_budget, dtype=dtype
+            )
+            if found:
+                objfj_total = objfj + float(pint.objective_offset)
+                xfj = np.where(is_int, np.round(xfj), xfj)
+                if is_feasible(pint, xfj) and objfj_total < incumbent_obj:
+                    incumbent, incumbent_obj = xfj, objfj_total
+        except Exception as e:  # heuristics must never kill the solve
+            log.warning(f"feasibility jump failed: {e}")
+
+    if settings.heuristics_only:
+        if incumbent is not None:
+            status = C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND
+            return _make_raw(prob, sign, incumbent, incumbent_obj,
+                             root_bound, status, timer=timer)
+        return _make_raw(
+            prob, sign, None, math.nan, root_bound,
+            C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT, timer=timer,
+        )
+
+    # ---- branch & bound ----
+    bnb = BranchAndBound(pint, settings)
+    if incumbent is not None:
+        bnb.set_incumbent(incumbent, incumbent_obj)
+    if math.isfinite(root_bound):
+        bnb.best_bound = root_bound
+    res = bnb.solve(timer)
+    status = res["status"]
+    x = res["incumbent"]
+    obj = res["incumbent_obj"]
+    bound = res["best_bound"]
+    if x is None and incumbent is not None:
+        x, obj = incumbent, incumbent_obj
+        status = C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND
+    return _make_raw(
+        prob, sign, x, obj, bound, status,
+        nodes=res["nodes"], iters=res["simplex_iters"], timer=timer,
+    )

@@ -4,7 +4,8 @@ Reference: cpp/include/cuopt/logger.hpp (CUOPT_LOG_* macros, per-solve log
 files + console toggles in every settings object).
 
 Provides a package logger plus a helper to attach a per-solve file sink and
-console toggle, like pdlp solver_settings.hpp:200-202 (log_file / log_to_console).
+console toggle, like pdlp solver_settings.hpp:200-202 (log_file /
+log_to_console).
 """
 
 from __future__ import annotations
@@ -27,12 +28,17 @@ _LEVELS = {
     "off": logging.CRITICAL + 10,
 }
 
+_MUTED = logging.CRITICAL + 10
+
 
 def get_logger() -> logging.Logger:
     logger = logging.getLogger(LOGGER_NAME)
-    if not logger.handlers:
+    if not getattr(logger, "_cuopt_initialized", False):
+        logger._cuopt_initialized = True
+        logger.propagate = False  # root may have its own handlers (jax)
         handler = logging.StreamHandler(sys.stdout)
         handler.setFormatter(logging.Formatter("%(message)s"))
+        handler._cuopt_console = True
         logger.addHandler(handler)
         level = os.environ.get("CUOPT_LOG_LEVEL", "info").lower()
         logger.setLevel(_LEVELS.get(level, logging.INFO))
@@ -49,26 +55,27 @@ def get_logger() -> logging.Logger:
 
 @contextmanager
 def solve_log_context(log_file: str | None = None, log_to_console: bool = True):
-    """Per-solve logging: optional file sink, optional console muting."""
+    """Per-solve logging: optional file sink, optional console muting.
+
+    Muting raises the console handler's level (never removes handlers, so
+    nested solves and concurrent get_logger() calls stay consistent)."""
     logger = get_logger()
     file_handler = None
-    muted_handlers: list[logging.Handler] = []
+    saved_levels: list[tuple[logging.Handler, int]] = []
     if log_file:
         file_handler = logging.FileHandler(log_file)
         file_handler.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(file_handler)
     if not log_to_console:
-        for h in list(logger.handlers):
-            if isinstance(h, logging.StreamHandler) and not isinstance(
-                h, logging.FileHandler
-            ):
-                muted_handlers.append(h)
-                logger.removeHandler(h)
+        for h in logger.handlers:
+            if getattr(h, "_cuopt_console", False):
+                saved_levels.append((h, h.level))
+                h.setLevel(_MUTED)
     try:
         yield logger
     finally:
         if file_handler is not None:
             logger.removeHandler(file_handler)
             file_handler.close()
-        for h in muted_handlers:
-            logger.addHandler(h)
+        for h, lvl in saved_levels:
+            h.setLevel(lvl)
