@@ -1,0 +1,363 @@
+"""Massively-parallel local search move evaluation (jitted JAX).
+
+TPU re-design of the reference move-candidate machinery
+(cpp/src/routing/local_search/local_search.cuh:102-160: CROSS/2-opt/
+relocate kernels over move_candidates/): ALL candidate moves are scored
+as dense tensors in one jitted call —
+
+  - relocate: every (order position) x (insertion slot) pair,
+  - swap (CROSS): every inter-route position pair,
+  - 2-opt: every intra-route segment reversal (symmetric matrices,
+    no time windows),
+
+with O(1) feasibility per candidate from forward departure times and
+backward latest-arrival slacks (the reference's forward/backward
+dimension cumulations, route/route.cuh). The host applies the best move
+and re-invokes; evaluation cost is one fused device program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+BIG = 1e12
+
+
+@struct.dataclass
+class LsProblem:
+    order_loc: jax.Array  # (n_serve,)
+    e: jax.Array  # tw early
+    l: jax.Array  # tw late
+    s: jax.Array  # service
+    demand: jax.Array  # (ndim, n_serve)
+    capacity: jax.Array  # (ndim, F)
+    veh_ti: jax.Array  # (F,) type index
+    veh_start: jax.Array
+    veh_return: jax.Array
+    veh_tw_early: jax.Array
+    veh_tw_late: jax.Array
+    veh_fixed: jax.Array
+    cost_mats: jax.Array  # (T, L, L)
+    time_mats: jax.Array
+    movable: jax.Array  # (n_serve,) bool: not PD-paired
+    allowed: jax.Array  # (n_serve, F) bool
+    has_tw: bool = struct.field(pytree_node=False)
+    allow_2opt: bool = struct.field(pytree_node=False)
+
+
+def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
+    sym = np.allclose(prob.cost_mats, np.swapaxes(prob.cost_mats, 1, 2))
+    has_tw = bool(
+        np.any(np.isfinite(prob.tw_late))
+        or np.any(prob.service > 0)
+        or np.any(np.isfinite(prob.veh_tw_late))
+    )
+    movable = np.ones(prob.n_serve, bool)
+    if prob.pd_partner is not None:
+        movable &= prob.pd_partner < 0
+    allowed = prob.allowed_vehicles if prob.allowed_vehicles is not None \
+        else np.ones((prob.n_serve, prob.n_fleet), bool)
+    ti = np.array(
+        [prob.type_index[int(t)] for t in prob.veh_type], np.int32
+    )
+    clip = lambda a: np.where(np.isfinite(a), a, BIG)
+    return LsProblem(
+        order_loc=jnp.asarray(prob.order_loc, jnp.int32),
+        e=jnp.asarray(prob.tw_early, dtype),
+        l=jnp.asarray(clip(prob.tw_late), dtype),
+        s=jnp.asarray(prob.service, dtype),
+        demand=jnp.asarray(prob.demand, dtype),
+        capacity=jnp.asarray(clip(prob.capacity), dtype),
+        veh_ti=jnp.asarray(ti),
+        veh_start=jnp.asarray(prob.veh_start, jnp.int32),
+        veh_return=jnp.asarray(prob.veh_return, jnp.int32),
+        veh_tw_early=jnp.asarray(prob.veh_tw_early, dtype),
+        veh_tw_late=jnp.asarray(clip(prob.veh_tw_late), dtype),
+        veh_fixed=jnp.asarray(prob.veh_fixed_cost, dtype),
+        cost_mats=jnp.asarray(prob.cost_mats, dtype),
+        time_mats=jnp.asarray(prob.time_mats, dtype),
+        movable=jnp.asarray(movable),
+        allowed=jnp.asarray(allowed),
+        has_tw=has_tw,
+        allow_2opt=bool(sym) and not has_tw,
+    )
+
+
+def _route_tensors(p: LsProblem, R, lens):
+    """Augmented per-route tensors: locations, departures, slacks, loads.
+
+    R: (F, L) serve-order ids, -1 padded. Positions 1..len hold orders;
+    position 0 is the vehicle start, position len+1 the return.
+    """
+    F, L = R.shape
+    dtype = p.e.dtype
+    valid = R >= 0  # (F, L)
+    Rc = jnp.where(valid, R, 0)
+    locs_mid = jnp.where(valid, p.order_loc[Rc], p.veh_return[:, None])
+    locs = jnp.concatenate(
+        [p.veh_start[:, None], locs_mid, p.veh_return[:, None]], axis=1
+    )  # (F, L+2)
+    e_aug = jnp.concatenate(
+        [p.veh_tw_early[:, None],
+         jnp.where(valid, p.e[Rc], 0.0),
+         jnp.zeros((F, 1), dtype)], axis=1,
+    )
+    l_aug = jnp.concatenate(
+        [jnp.full((F, 1), BIG, dtype),
+         jnp.where(valid, p.l[Rc], BIG),
+         p.veh_tw_late[:, None]], axis=1,
+    )
+    s_aug = jnp.concatenate(
+        [jnp.zeros((F, 1), dtype),
+         jnp.where(valid, p.s[Rc], 0.0),
+         jnp.zeros((F, 1), dtype)], axis=1,
+    )
+    ti = p.veh_ti  # (F,)
+    tmat = p.time_mats[ti]  # (F, L, L) gathered per vehicle
+    cmat = p.cost_mats[ti]
+    # arc times between consecutive augmented positions
+    t_arc = tmat[jnp.arange(F)[:, None], locs[:, :-1], locs[:, 1:]]
+    # forward pass: arrival/departure via scan over positions
+    def fwd(dep_prev, inputs):
+        t_in, e_in, s_in = inputs
+        arr = jnp.maximum(dep_prev + t_in, e_in)
+        dep = arr + s_in
+        return dep, (arr, dep)
+
+    dep0 = p.veh_tw_early
+    _, (arr_seq, dep_seq) = jax.lax.scan(
+        fwd, dep0,
+        (t_arc.T, e_aug[:, 1:].T, s_aug[:, 1:].T),
+    )
+    arr = jnp.concatenate(
+        [p.veh_tw_early[:, None], arr_seq.T], axis=1
+    )  # (F, L+2) arrival at each augmented position
+    dep = jnp.concatenate([dep0[:, None], dep_seq.T], axis=1)
+
+    # backward pass: latest feasible arrival
+    def bwd(lat_next, inputs):
+        t_in, l_in, s_in = inputs
+        lat = jnp.minimum(l_in, lat_next - t_in - s_in)
+        return lat, lat
+
+    lat_last = l_aug[:, -1]
+    _, lat_seq = jax.lax.scan(
+        bwd, lat_last,
+        (t_arc.T[::-1], l_aug[:, :-1].T[::-1], s_aug[:, :-1].T[::-1]),
+    )
+    lat = jnp.concatenate([lat_seq[::-1].T, lat_last[:, None]], axis=1)
+
+    load = jnp.sum(
+        jnp.where(valid[None], p.demand[:, Rc], 0.0), axis=2
+    )  # (ndim, F)
+    return locs, arr, dep, lat, load, cmat, tmat, valid
+
+
+@partial(jax.jit, static_argnames=())
+def evaluate_moves(p: LsProblem, R, lens):
+    """Score all moves; return (delta, kind, a_r, a_i, b_r, b_j)."""
+    F, L = R.shape
+    locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
+        p, R, lens
+    )
+    Rc = jnp.where(valid, R, 0)
+    fvec = jnp.arange(F)
+
+    # ---- relocate: u at (r1, i) -> insert at slot (r2, j) ----
+    # removal gain for each position i (1-based augmented index i+1)
+    ar = fvec[:, None]
+    pos = jnp.arange(L)
+    prev_loc = locs[ar, pos]          # predecessor of order at i
+    u_loc = locs[ar, pos + 1]
+    next_loc = locs[ar, pos + 2]
+    c_r1 = cmat[ar, prev_loc, u_loc] + cmat[ar, u_loc, next_loc] - \
+        cmat[ar, prev_loc, next_loc]  # (F, L) removal saving
+    u_ids = Rc  # (F, L)
+    u_dem = p.demand[:, u_ids]  # (ndim, F, L)
+    u_movable = valid & p.movable[u_ids]
+
+    # insertion cost of order u into slot (r2, j): between aug j and j+1
+    slot = jnp.arange(L + 1)
+    q_loc = locs[:, :L + 1]       # (F, L+1) slot predecessor location
+    qn_loc = locs[:, 1:L + 2]     # slot successor location
+    # cost tensors: (F2, L+1, F1, L) -> use broadcasting:
+    # ins_cost[r2, j, u] = c2(q_j, loc_u) + c2(loc_u, q_{j+1}) - c2(q_j,q_{j+1})
+    u_loc_flat = p.order_loc[Rc]  # (F, L)
+    cm2 = cmat  # (F, L, L) per-vehicle matrices
+    cA = cm2[fvec[:, None, None, None], q_loc[:, :, None, None],
+             u_loc_flat[None, None, :, :]]
+    cB = cm2[fvec[:, None, None, None], u_loc_flat[None, None, :, :],
+             qn_loc[:, :, None, None]]
+    cC = cm2[fvec[:, None], q_loc, qn_loc][:, :, None, None]
+    ins_cost = cA + cB - cC  # (F2, L+1, F1, L)
+
+    reloc_delta = ins_cost - c_r1[None, None, :, :]
+
+    # feasibility
+    slot_valid = (slot[None, :] <= lens[:, None])  # (F2, L+1)
+    cap_ok = jnp.all(
+        (load[:, :, None, None, None] + u_dem[:, None, None, :, :])
+        <= p.capacity[:, :, None, None, None] + 1e-6, axis=0,
+    )  # (F2, 1?, F1, L) -> shapes: load (ndim,F2) -> (ndim,F2,1,1,1); broadcast
+    cap_ok = cap_ok[:, 0]  # (F2, F1, L)
+    allowed_ok = p.allowed[Rc][:, :, :]  # (F1, L, F2)
+    allowed_ok = jnp.transpose(allowed_ok, (2, 0, 1))  # (F2, F1, L)
+    if p.has_tw:
+        t2 = tmat  # (F2, L, L)
+        tA = t2[fvec[:, None, None, None], q_loc[:, :, None, None],
+                u_loc_flat[None, None, :, :]]
+        tB = t2[fvec[:, None, None, None], u_loc_flat[None, None, :, :],
+                qn_loc[:, :, None, None]]
+        dep_slot = dep[:, :L + 1]  # (F2, L+1) departure at slot pred
+        arr_u = jnp.maximum(
+            dep_slot[:, :, None, None] + tA,
+            p.e[Rc][None, None, :, :],
+        )
+        ok_u = arr_u <= p.l[Rc][None, None, :, :] + 1e-6
+        lat_next = lat[:, 1:L + 2]  # (F2, L+1) latest arrival at slot succ
+        ok_next = (
+            arr_u + p.s[Rc][None, None, :, :] + tB
+            <= lat_next[:, :, None, None] + 1e-6
+        )
+        tw_ok = ok_u & ok_next
+    else:
+        tw_ok = jnp.ones_like(reloc_delta, bool)
+
+    same_route = (fvec[:, None, None, None] ==
+                  fvec[None, None, :, None])
+    reloc_mask = (
+        slot_valid[:, :, None, None]
+        & u_movable[None, None, :, :]
+        & cap_ok[:, None, :, :]
+        & allowed_ok[:, None, :, :]
+        & tw_ok
+        & ~same_route
+    )
+    # fixed-cost effects: opening r2, closing r1
+    open2 = jnp.where(lens == 0, p.veh_fixed, 0.0)
+    close1 = jnp.where(lens == 1, p.veh_fixed, 0.0)
+    reloc_delta = reloc_delta + open2[:, None, None, None] - \
+        close1[None, None, :, None]
+    reloc_score = jnp.where(reloc_mask, reloc_delta, BIG)
+
+    # ---- swap: u at (r1,i) <-> w at (r2,k), r1 < r2 ----
+    # replacing u by w at (r1, i): delta1 = c1(prev,w)+c1(w,next)-c1(prev,u)-c1(u,next)
+    w_loc = u_loc_flat  # alias for clarity
+    d_in = (
+        cmat[fvec[:, None, None, None], prev_loc[:, :, None, None],
+             w_loc[None, None]]
+        + cmat[fvec[:, None, None, None], w_loc[None, None],
+               next_loc[:, :, None, None]]
+        - (cmat[ar, prev_loc, u_loc]
+           + cmat[ar, u_loc, next_loc])[:, :, None, None]
+    )  # (F1, L_i, F2, L_k): cost change in r1 when w replaces u
+    swap_delta = d_in + jnp.transpose(d_in, (2, 3, 0, 1))
+
+    dem_u = p.demand[:, Rc]  # (ndim, F, L)
+    cap_ok_sw = jnp.all(
+        (load[:, :, None, None, None] - dem_u[:, :, :, None, None]
+         + dem_u[:, None, None, :, :])
+        <= p.capacity[:, :, None, None, None] + 1e-6, axis=0,
+    )  # (F1, L_i, F2, L_k) load1 - u + w
+    cap_ok_sw2 = jnp.transpose(cap_ok_sw, (2, 3, 0, 1))
+    # allowed: w (at r2,k) must be allowed on r1, u (at r1,i) on r2.
+    # T1[t, f, l] = order at (f, l) allowed on vehicle t
+    T1 = jnp.transpose(p.allowed[Rc], (2, 0, 1))
+    allowed_full = (
+        T1[:, None, :, :]                            # (F1, 1, F2, Lk)
+        & jnp.transpose(T1, (1, 2, 0))[:, :, :, None]  # (F1, Li, F2, 1)
+    )
+
+    if p.has_tw:
+        tw_in = (
+            jnp.maximum(
+                dep[:, :L][:, :, None, None]
+                + tmat[fvec[:, None, None, None],
+                       prev_loc[:, :, None, None], w_loc[None, None]],
+                p.e[Rc][None, None],
+            )
+        )  # arrival of w at (r1,i)
+        ok_w = tw_in <= p.l[Rc][None, None] + 1e-6
+        ok_wn = (
+            tw_in + p.s[Rc][None, None]
+            + tmat[fvec[:, None, None, None], w_loc[None, None],
+                   next_loc[:, :, None, None]]
+            <= lat[:, 2:L + 2][:, :, None, None] + 1e-6
+        )
+        tw_ok1 = ok_w & ok_wn  # (F1, L_i, F2, L_k)
+        tw_ok_sw = tw_ok1 & jnp.transpose(tw_ok1, (2, 3, 0, 1))
+    else:
+        tw_ok_sw = jnp.ones_like(swap_delta, bool)
+
+    vmask = valid  # (F, L)
+    movable2 = vmask & p.movable[Rc]
+    diff_route = fvec[:, None, None, None] != fvec[None, None, :, None]
+    # note axes: (F1, L_i, F2, L_k); build route-inequality correctly
+    r1_idx = fvec[:, None, None, None]
+    r2_idx = fvec[None, None, :, None]
+    swap_mask = (
+        movable2[:, :, None, None]
+        & movable2[None, None, :, :]
+        & (r1_idx != r2_idx)
+        & cap_ok_sw
+        & cap_ok_sw2
+        & allowed_full
+        & tw_ok_sw
+    )
+    swap_score = jnp.where(swap_mask, swap_delta, BIG)
+
+    # ---- 2-opt intra-route (symmetric, no TW): reverse segment [i..k] ----
+    if p.allow_2opt:
+        i_idx = jnp.arange(L)[None, :, None]
+        k_idx = jnp.arange(L)[None, None, :]
+        pi_prev = locs[fvec[:, None, None], i_idx]      # loc before i
+        pi = locs[fvec[:, None, None], i_idx + 1]
+        pk = locs[fvec[:, None, None], k_idx + 1]
+        pk_next = locs[fvec[:, None, None], k_idx + 2]
+        two_delta = (
+            cmat[fvec[:, None, None], pi_prev, pk]
+            + cmat[fvec[:, None, None], pi, pk_next]
+            - cmat[fvec[:, None, None], pi_prev, pi]
+            - cmat[fvec[:, None, None], pk, pk_next]
+        )
+        two_mask = (
+            (i_idx < k_idx)
+            & (k_idx < lens[:, None, None])
+            & valid[:, :, None] & valid[:, None, :]
+        )
+        two_score = jnp.where(two_mask, two_delta, BIG)
+    else:
+        two_score = jnp.full((F, 1, 1), BIG, reloc_score.dtype)
+
+    # ---- pick global best ----
+    r_best = jnp.min(reloc_score)
+    s_best = jnp.min(swap_score)
+    t_best = jnp.min(two_score)
+    best = jnp.minimum(jnp.minimum(r_best, s_best), t_best)
+
+    r_arg = jnp.unravel_index(jnp.argmin(reloc_score), reloc_score.shape)
+    s_arg = jnp.unravel_index(jnp.argmin(swap_score), swap_score.shape)
+    t_arg = jnp.unravel_index(jnp.argmin(two_score), two_score.shape)
+
+    kind = jnp.where(
+        best == r_best, 0, jnp.where(best == s_best, 1, 2)
+    )
+    # unified move encoding:
+    #  relocate: (r2, slot j, r1, i)
+    #  swap:     (r1, i, r2, k)
+    #  2opt:     (r, i, r, k)
+    mv = jnp.where(
+        kind == 0,
+        jnp.stack([r_arg[0], r_arg[1], r_arg[2], r_arg[3]]),
+        jnp.where(
+            kind == 1,
+            jnp.stack([s_arg[0], s_arg[1], s_arg[2], s_arg[3]]),
+            jnp.stack([t_arg[0], t_arg[1], t_arg[0], t_arg[2]]),
+        ),
+    )
+    return best, kind, mv

@@ -1,0 +1,212 @@
+"""Routing solve orchestration.
+
+Mirrors reference routing::solve (cpp/src/routing/solve.cu:30 ->
+solver.cu:68 -> ges_solver.cu compute_ges_solution :51): validate, build
+problem, construct initial solution, improve with parallel local search,
+diversify with ruin-&-recreate restarts until the time limit, return the
+best feasible assignment.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from cuopt_tpu.routing.assignment import (
+    Assignment,
+    Objective,
+    SolutionStatus,
+)
+from cuopt_tpu.routing.construction import (
+    cheapest_insertion,
+    greedy_reinsert,
+)
+from cuopt_tpu.routing.internal import build_problem
+from cuopt_tpu.routing.settings import SolverSettings, default_time_limit
+from cuopt_tpu.utils.errors import ValidationError
+from cuopt_tpu.utils.logger import get_logger
+from cuopt_tpu.utils.timer import Timer
+
+
+def _routes_to_arrays(prob, routes, L_pad):
+    import jax.numpy as jnp
+
+    F = prob.n_fleet
+    R = np.full((F, L_pad), -1, np.int32)
+    lens = np.zeros(F, np.int32)
+    for v, r in routes.items():
+        R[v, : len(r)] = r
+        lens[v] = len(r)
+    return jnp.asarray(R), jnp.asarray(lens)
+
+
+def _apply_move(routes, kind, mv):
+    kind = int(kind)
+    a, b, c, d = (int(x) for x in mv)
+    if kind == 0:  # relocate: (r2, slot j, r1, i)
+        r2, j, r1, i = a, b, c, d
+        u = routes[r1].pop(i)
+        routes[r2].insert(j, u)
+    elif kind == 1:  # swap: (r1, i, r2, k)
+        r1, i, r2, k = a, b, c, d
+        routes[r1][i], routes[r2][k] = routes[r2][k], routes[r1][i]
+    else:  # 2-opt: (r, i, r, k) reverse positions i..k
+        r, i, _, k = a, b, c, d
+        routes[r][i:k + 1] = reversed(routes[r][i:k + 1])
+    return routes
+
+
+def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
+    from cuopt_tpu.routing.local_search import evaluate_moves
+
+    L_pad = max(8, max((len(r) for r in routes.values()), default=1) + 4)
+    for _ in range(max_rounds):
+        if timer.expired():
+            break
+        R, lens = _routes_to_arrays(prob, routes, L_pad)
+        delta, kind, mv = evaluate_moves(lsp, R, lens)
+        if float(delta) >= -1e-7:
+            break
+        routes = _apply_move(routes, kind, mv)
+    return routes
+
+
+def Solve(data_model, solver_settings: SolverSettings | None = None):
+    settings = solver_settings or SolverSettings()
+    log = get_logger()
+    try:
+        data_model.validate()
+        prob = build_problem(data_model)
+    except ValidationError as exc:
+        return Assignment(
+            0, 0.0, {}, _empty_route_df(),
+            status=SolutionStatus.FAIL.value,
+            message=str(exc), error_status=1, error_message=str(exc),
+        )
+    tl = settings.time_limit if settings.time_limit is not None else \
+        default_time_limit(prob.n_serve, prob.n_fleet)
+    timer = Timer(tl)
+    rng = np.random.default_rng(settings.seed)
+
+    if prob.n_serve == 0:
+        return Assignment(
+            0, 0.0, {}, _empty_route_df(),
+            status=SolutionStatus.EMPTY.value, message="no orders to serve",
+        )
+
+    from cuopt_tpu.routing.local_search import build_ls_problem
+
+    lsp = build_ls_problem(prob)
+    routes, unassigned = cheapest_insertion(prob)
+    routes = _local_search(prob, lsp, routes, timer)
+    best_routes = {v: list(r) for v, r in routes.items()}
+    best_cost = prob.solution_cost(best_routes)
+    best_unassigned = list(unassigned)
+
+    # diversify: ruin & recreate restarts until the budget runs out
+    # (role of the reference's GES perturbation + recombiners)
+    while not timer.expired() and prob.n_serve > 1:
+        routes = {v: list(r) for v, r in best_routes.items()}
+        n_remove = max(1, int(0.15 * prob.n_serve))
+        candidates = [
+            (v, i) for v, r in routes.items() for i in range(len(r))
+        ]
+        if not candidates:
+            break
+        rng.shuffle(candidates)
+        removed = []
+        removed_set = set()
+        for v, i in candidates[:n_remove]:
+            pass
+        # remove by value, not index (indices shift)
+        to_remove = set()
+        for v, i in candidates[:n_remove]:
+            o = best_routes[v][i]
+            if prob.pd_partner is not None and prob.pd_partner[o] >= 0:
+                to_remove.add(int(prob.pd_partner[o]))
+            to_remove.add(o)
+        for v in routes:
+            routes[v] = [o for o in routes[v] if o not in to_remove]
+        removed = list(to_remove) + list(best_unassigned)
+        routes, un2 = greedy_reinsert(prob, routes, removed, rng)
+        routes = _local_search(prob, lsp, routes, timer)
+        cost = prob.solution_cost(routes)
+        if len(un2) < len(best_unassigned) or (
+            len(un2) == len(best_unassigned) and cost < best_cost - 1e-9
+        ):
+            best_routes = {v: list(r) for v, r in routes.items()}
+            best_cost = cost
+            best_unassigned = un2
+
+    return _build_assignment(
+        prob, best_routes, best_unassigned, timer, data_model
+    )
+
+
+def _empty_route_df():
+    import pandas as pd
+
+    return pd.DataFrame(
+        columns=["route", "arrival_stamp", "truck_id", "location"]
+    )
+
+
+def _build_assignment(prob, routes, unassigned, timer, dm):
+    import pandas as pd
+
+    rows = []
+    used = 0
+    total_cost = 0.0
+    total_time = 0.0
+    for v in range(prob.n_fleet):
+        r = routes.get(v, [])
+        if not r:
+            continue
+        used += 1
+        cost = prob.route_cost(v, r)
+        total_cost += cost
+        arr, ok = prob.route_schedule(v, r)
+        ti = prob.type_index[int(prob.veh_type[v])]
+        start_time = prob.veh_tw_early[v]
+        if not prob.skip_first[v]:
+            rows.append((0, float(start_time), v, int(prob.veh_start[v])))
+        for o, a in zip(r, arr):
+            rows.append((
+                int(prob.serve_orders[o]), float(a), v,
+                int(prob.order_loc[o]),
+            ))
+        if not prob.drop_return[v]:
+            end = arr[-1] + prob.service[r[-1]] + prob.time_mats[
+                ti, prob.order_loc[r[-1]], prob.veh_return[v]
+            ] if len(arr) else start_time
+            rows.append((0, float(end), v, int(prob.veh_return[v])))
+            total_time += float(end - start_time)
+        elif len(arr):
+            total_time += float(
+                arr[-1] + prob.service[r[-1]] - start_time
+            )
+    df = pd.DataFrame(
+        rows, columns=["route", "arrival_stamp", "truck_id", "location"]
+    )
+    if unassigned and prob.prizes is None:
+        status = SolutionStatus.FAIL.value
+        message = f"{len(unassigned)} orders could not be served"
+    elif not rows:
+        status = SolutionStatus.EMPTY.value
+        message = "empty solution"
+    else:
+        status = SolutionStatus.SUCCESS.value
+        message = ""
+    objective_values = {Objective.COST: float(total_cost)}
+    if prob.prizes is not None and unassigned:
+        objective_values[Objective.PRIZE] = float(
+            -np.sum(prob.prizes[list(unassigned)])
+        )
+    return Assignment(
+        used, float(total_cost), objective_values, df,
+        status=status, message=message,
+        undeliverable_orders=[
+            int(prob.serve_orders[o]) for o in unassigned
+        ],
+    )
