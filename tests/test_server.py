@@ -1,0 +1,180 @@
+"""Server integration tests.
+
+Mirrors the reference server test strategy (python/cuopt_server tests: a
+pytest fixture spawns a real server process and drives HTTP —
+tests/utils/utils.py:306-321): LP + routing solves, aborts/unknown ids,
+payload encodings, health.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+import requests
+
+LP_PAYLOAD = {
+    "csr_constraint_matrix": {
+        "offsets": [0, 2, 4], "indices": [0, 1, 0, 1],
+        "values": [3.0, 4.0, 2.7, 10.1],
+    },
+    "objective_data": {"coefficients": [-0.2, -0.1], "offset": 0.0},
+    "constraint_bounds": {
+        "upper_bounds": [5.4, 4.9], "lower_bounds": ["ninf", "ninf"],
+    },
+    "variable_bounds": {
+        "lower_bounds": [0.0, 0.0], "upper_bounds": ["inf", "inf"],
+    },
+    "maximize": False,
+    "solver_config": {"method": 1},
+}
+
+ROUTING_PAYLOAD = {
+    "cost_matrix_data": {
+        "data": {"0": [[0, 1, 5, 2], [2, 0, 7, 4],
+                       [1, 5, 0, 9], [5, 6, 2, 0]]}
+    },
+    "fleet_data": {"vehicle_locations": [[0, 0], [0, 0]]},
+    "task_data": {"task_locations": [1, 2, 3]},
+    "solver_config": {"time_limit": 2},
+}
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server():
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cuopt_tpu.server", "--port", str(port),
+         "-d", "1"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(120):
+        try:
+            if requests.get(base + "/cuopt/health", timeout=1).ok:
+                break
+        except requests.ConnectionError:
+            time.sleep(0.5)
+    else:
+        proc.kill()
+        pytest.fail("server did not start")
+    yield base
+    proc.terminate()
+    try:
+        proc.wait(timeout=5)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def _poll(base, req_id, timeout=240):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        r = requests.get(f"{base}/cuopt/solution/{req_id}")
+        if r.status_code == 200:
+            return r.json()
+        assert r.status_code == 202, r.text
+        time.sleep(0.3)
+    pytest.fail("poll timeout")
+
+
+def test_health(server):
+    r = requests.get(server + "/cuopt/health")
+    assert r.ok and r.json()["status"] == "RUNNING"
+    assert requests.get(server + "/v2/health/ready").ok
+    assert requests.get(server + "/v2/health/live").ok
+
+
+def test_lp_async_roundtrip(server):
+    r = requests.post(server + "/cuopt/request", json=LP_PAYLOAD)
+    assert r.ok, r.text
+    req_id = r.json()["reqId"]
+    res = _poll(server, req_id)
+    sol = res["response"]["solver_response"]["solution"]
+    assert sol["termination_reason"] == "Optimal"
+    assert abs(sol["primal_objective"] - (-0.36)) < 1e-3
+
+
+def test_routing_roundtrip(server):
+    r = requests.post(server + "/cuopt/request", json=ROUTING_PAYLOAD)
+    assert r.ok, r.text
+    res = _poll(server, r.json()["reqId"])
+    out = res["response"]["solver_response"]
+    assert out["num_vehicles"] >= 1
+    assert out["solution_cost"] > 0
+
+
+def test_unknown_request(server):
+    assert requests.get(
+        server + "/cuopt/solution/nonexistent"
+    ).status_code == 404
+
+
+def test_malformed_payload_rejected(server):
+    r = requests.post(
+        server + "/cuopt/request",
+        json={"csr_constraint_matrix": {"bogus": 1}},
+    )
+    assert r.status_code == 422
+
+
+def test_pickle_rejected(server):
+    r = requests.post(
+        server + "/cuopt/request", data=b"x",
+        headers={"Content-Type": "application/pickle"},
+    )
+    assert r.status_code == 415
+
+
+def test_msgpack_zlib(server):
+    import zlib
+
+    import msgpack
+
+    data = zlib.compress(msgpack.packb(LP_PAYLOAD))
+    r = requests.post(
+        server + "/cuopt/request", data=data,
+        headers={"Content-Type": "application/vnd.msgpack+zlib"},
+    )
+    assert r.ok, r.text
+    res = _poll(server, r.json()["reqId"])
+    assert res["response"]["solver_response"]["solution"][
+        "termination_reason"
+    ] == "Optimal"
+
+
+def test_abort(server):
+    r = requests.post(server + "/cuopt/request", json=ROUTING_PAYLOAD)
+    req_id = r.json()["reqId"]
+    requests.delete(f"{server}/cuopt/request/{req_id}")
+    out = requests.get(f"{server}/cuopt/solution/{req_id}")
+    assert out.status_code in (410, 202, 200)
+
+
+def test_thin_client(server):
+    from cuopt_tpu.clients import (
+        CuOptServiceSelfHostClient,
+        ThinClientSolverSettings,
+    )
+
+    host, port = server.replace("http://", "").split(":")
+    c = CuOptServiceSelfHostClient(
+        ip=host, port=int(port), polling_interval=0.3
+    )
+    s = ThinClientSolverSettings()
+    s.set_parameter("method", 1)
+    res = c.get_LP_solve(LP_PAYLOAD, s)
+    assert res["response"]["solver_response"]["solution"][
+        "termination_reason"
+    ] == "Optimal"
