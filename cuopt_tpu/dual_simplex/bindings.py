@@ -1,0 +1,143 @@
+"""ctypes bindings for the native dual simplex (cpp/dual_simplex).
+
+Mirrors the reference dual_simplex entry `solve_linear_program`
+(cpp/src/dual_simplex/solve.hpp:52-74). The shared library is built by
+`make -C cpp`; if missing, we build it on the fly with g++ (toolchain is
+guaranteed in this environment).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+
+import numpy as np
+
+from cuopt_tpu import constants as C
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libtpu_simplex.so")
+_SRC_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "cpp", "dual_simplex",
+    "simplex.cpp",
+)
+_lib = None
+
+# native status codes (cpp/dual_simplex/simplex.cpp Status)
+DS_OPTIMAL = 0
+DS_INFEASIBLE = 1
+DS_UNBOUNDED = 2
+DS_ITER_LIMIT = 3
+DS_TIME_LIMIT = 4
+DS_NUMERICAL = 5
+DS_HALTED = 6
+
+_STATUS_MAP = {
+    DS_OPTIMAL: C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+    DS_INFEASIBLE: C.CUOPT_TERIMINATION_STATUS_INFEASIBLE,
+    DS_UNBOUNDED: C.CUOPT_TERIMINATION_STATUS_UNBOUNDED,
+    DS_ITER_LIMIT: C.CUOPT_TERIMINATION_STATUS_ITERATION_LIMIT,
+    DS_TIME_LIMIT: C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT,
+    DS_NUMERICAL: C.CUOPT_TERIMINATION_STATUS_NUMERICAL_ERROR,
+    DS_HALTED: C.CUOPT_TERIMINATION_STATUS_CONCURRENT_LIMIT,
+}
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        src = os.path.abspath(_SRC_PATH)
+        if not os.path.exists(src):
+            return None
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o",
+             _LIB_PATH, src],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.ds_solve.restype = ctypes.c_int
+    lib.ds_solve.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        ctypes.c_double, ctypes.c_int,
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib = lib
+    return lib
+
+
+def solve_lp_simplex(prob, settings, timer, halt=None):
+    """Solve with the native dual simplex. Returns the raw solution dict
+    (same schema as PdlpSolver.run)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native simplex library unavailable")
+    n, m = prob.n_variables, prob.n_constraints
+    # CSR -> CSC
+    from cuopt_tpu.sparse.ops import _transpose_csr
+
+    t_off, t_idx, t_val, _ = _transpose_csr(
+        prob.offsets, prob.indices, prob.values, m, n
+    )
+    sign = -1.0 if prob.maximize else 1.0
+    c = np.ascontiguousarray(sign * prob.objective_coefficients, np.float64)
+    x = np.zeros(n)
+    y = np.zeros(m)
+    dj = np.zeros(n)
+    obj = ctypes.c_double()
+    iters = ctypes.c_int()
+    halt_ptr = ctypes.cast(halt, ctypes.c_void_p) if halt is not None \
+        else None
+    tl = timer.remaining() if timer is not None else math.inf
+    if not math.isfinite(tl):
+        tl = 1e18
+    status = lib.ds_solve(
+        m, n,
+        np.ascontiguousarray(t_off, np.int64),
+        np.ascontiguousarray(t_idx, np.int64),
+        np.ascontiguousarray(t_val, np.float64),
+        c,
+        np.ascontiguousarray(prob.variable_lower_bounds, np.float64),
+        np.ascontiguousarray(prob.variable_upper_bounds, np.float64),
+        np.ascontiguousarray(prob.constraint_lower_bounds, np.float64),
+        np.ascontiguousarray(prob.constraint_upper_bounds, np.float64),
+        float(tl),
+        int(min(getattr(settings, "iteration_limit", 1 << 30), 1 << 30)),
+        halt_ptr,
+        x, y, dj, ctypes.byref(obj), ctypes.byref(iters),
+    )
+    primal_obj = obj.value + sign * prob.objective_offset
+    raw = {
+        "status": _STATUS_MAP.get(status,
+                                  C.CUOPT_TERIMINATION_STATUS_NUMERICAL_ERROR),
+        "iterations": iters.value,
+        "attempts": iters.value,
+        "solve_time": timer.elapsed() if timer is not None else 0.0,
+        "primal_solution": x,
+        "dual_solution": sign * y,
+        "reduced_cost": sign * dj,
+        "primal_objective": sign * primal_obj,
+        "dual_objective": sign * primal_obj,
+        "gap": 0.0,
+        "l2_primal_residual": 0.0,
+        "l2_dual_residual": 0.0,
+        "linf_primal_residual": 0.0,
+        "linf_dual_residual": 0.0,
+        "solved_by": "dual_simplex",
+    }
+    return raw

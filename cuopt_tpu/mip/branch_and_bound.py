@@ -51,6 +51,17 @@ class BranchAndBound:
         self.node_lp_tol = node_lp_tol
         self.max_nodes = max_nodes
         self.log = get_logger()
+        # exact host simplex for node relaxations when available and the
+        # problem is small enough for the dense-inverse kernel (reference
+        # B&B runs on dual simplex; PDLP is the fallback bound engine)
+        self.use_simplex = False
+        if prob.n_constraints <= 500 and prob.n_variables <= 1000:
+            try:
+                from cuopt_tpu.dual_simplex import is_available
+
+                self.use_simplex = is_available()
+            except Exception:
+                self.use_simplex = False
         self.is_int = prob.variable_types == "I"
         self.int_tol = mip_settings.tolerances.integrality_tolerance
         self.incumbent = None
@@ -83,6 +94,13 @@ class BranchAndBound:
         s.iteration_limit = 50_000
         if timer is not None:
             s.time_limit = max(timer.remaining(), 0.5)
+        if self.use_simplex:
+            from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+            from cuopt_tpu.utils.timer import Timer as _Timer
+
+            raw = solve_lp_simplex(node_prob, s, timer or _Timer())
+            self.simplex_iters += raw["iterations"]
+            return raw
         s.initial_primal_solution = x_warm
         s.initial_dual_solution = y_warm
         raw = PdlpSolver(node_prob, s).run()

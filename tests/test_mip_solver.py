@@ -15,7 +15,9 @@ from cuopt_tpu.io import parse_mps
 from cuopt_tpu.linear_programming import MIPSolverSettings, Solve
 
 
-def mip_settings(time_limit=60.0, **kw):
+def mip_settings(time_limit=240.0, **kw):
+    # generous limits: XLA compiles on this host go through a remote
+    # compile service with 10-300s latency swings (see conftest note)
     s = MIPSolverSettings()
     s.time_limit = time_limit
     s.log_to_console = False
