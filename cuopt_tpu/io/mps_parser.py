@@ -497,13 +497,26 @@ class _MpsParser:
         )
 
 
-def parse_mps(path: str, fixed_format: bool = False) -> OptimizationProblem:
+def parse_mps(path: str, fixed_format: bool = False,
+              backend: str = "auto") -> OptimizationProblem:
     """Parse an MPS file into an OptimizationProblem.
 
-    Mirrors reference parse_mps() (include/mps_parser/parser.hpp:35). The
-    `fixed_format` flag is accepted for API parity; both formats are handled
-    by whitespace tokenization.
+    Mirrors reference parse_mps() (include/mps_parser/parser.hpp:35).
+
+    backend: 'auto' uses the native C++ parser (cpp/mps_parser/) when the
+    shared library is built, falling back to this pure-Python
+    implementation; 'native' / 'python' force a specific one.
     """
+    if backend not in ("auto", "native", "python"):
+        raise ValueError(f"unknown MPS backend {backend!r}")
+    if backend != "python":
+        from cuopt_tpu.io import native_mps
+        if native_mps.available():
+            return native_mps.parse_mps_native(path, fixed_format)
+        if backend == "native":
+            raise RuntimeError(
+                "native MPS parser not built (run: make -C cpp)"
+            )
     with open(path, "r", errors="replace") as f:
         text = f.read()
     if not text.strip():

@@ -38,17 +38,57 @@ GOOD_FILES = [
 ]
 
 
+BACKENDS = ["python", "native"]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("fname", BAD_FILES)
-def test_bad_mps_rejected(lp_datasets, fname):
+def test_bad_mps_rejected(lp_datasets, fname, backend):
     with pytest.raises(MpsParseError):
-        parse_mps(str(lp_datasets / fname))
+        parse_mps(str(lp_datasets / fname), backend=backend)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("fname", GOOD_FILES)
+def test_good_mps_accepted(lp_datasets, fname, backend):
+    p = parse_mps(str(lp_datasets / fname), backend=backend)
+    assert p.n_variables >= 0
+    p.validate()
 
 
 @pytest.mark.parametrize("fname", GOOD_FILES)
-def test_good_mps_accepted(lp_datasets, fname):
-    p = parse_mps(str(lp_datasets / fname))
-    assert p.n_variables >= 0
-    p.validate()
+def test_native_matches_python(lp_datasets, fname):
+    """The C++ parser (cpp/mps_parser/) and the Python fallback must
+    produce identical problems on the whole good-file suite."""
+    a = parse_mps(str(lp_datasets / fname), backend="python")
+    b = parse_mps(str(lp_datasets / fname), backend="native")
+    assert a.n_variables == b.n_variables
+    assert a.n_constraints == b.n_constraints
+    assert a.nnz == b.nnz
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    np.testing.assert_array_equal(a.indices, b.indices)
+    np.testing.assert_allclose(a.values, b.values)
+    np.testing.assert_allclose(
+        a.objective_coefficients, b.objective_coefficients
+    )
+    assert a.objective_offset == b.objective_offset
+    assert a.maximize == b.maximize
+    np.testing.assert_allclose(
+        a.constraint_lower_bounds, b.constraint_lower_bounds
+    )
+    np.testing.assert_allclose(
+        a.constraint_upper_bounds, b.constraint_upper_bounds
+    )
+    np.testing.assert_allclose(
+        a.variable_lower_bounds, b.variable_lower_bounds
+    )
+    np.testing.assert_allclose(
+        a.variable_upper_bounds, b.variable_upper_bounds
+    )
+    assert list(a.variable_types) == list(b.variable_types)
+    assert a.variable_names == b.variable_names
+    assert a.row_names == b.row_names
+    assert a.objective_name == b.objective_name
 
 
 def test_good_mps_1_contents(lp_datasets):
