@@ -46,19 +46,28 @@ class RoutingProblem:
     pd_partner: np.ndarray = field(default=None)
     pd_sign: np.ndarray = field(default=None)
     allowed_vehicles: np.ndarray = field(default=None)  # (n_serve, F) bool
+    # per-vehicle break list: dicts {early, late, duration, locs|None},
+    # sorted by `late` (reference data_model_view.hpp add_break_dimension /
+    # add_vehicle_break; break locations :195-198)
+    breaks: list = field(default=None)
 
     @property
     def n_serve(self):
         return len(self.order_loc)
+
+    def has_breaks(self, vehicle: int) -> bool:
+        return bool(self.breaks) and bool(self.breaks[vehicle])
 
     def cost(self, vtype_idx, a, b):
         return self.cost_mats[vtype_idx, a, b]
 
     def route_cost(self, vehicle: int, route: list[int]) -> float:
         """Cost of one route (serve-order index list, no depots)."""
-        ti = self.type_index[int(self.veh_type[vehicle])]
         if not route:
             return 0.0
+        if self.has_breaks(vehicle):
+            return self.route_plan(vehicle, route)["cost"]
+        ti = self.type_index[int(self.veh_type[vehicle])]
         locs = self.order_loc[route]
         c = 0.0
         if not self.skip_first[vehicle]:
@@ -68,29 +77,109 @@ class RoutingProblem:
             c += self.cost_mats[ti, locs[-1], self.veh_return[vehicle]]
         return c + float(self.veh_fixed_cost[vehicle])
 
-    def route_schedule(self, vehicle: int, route: list[int]):
-        """Arrival times; returns (arrivals, feasible)."""
+    def route_plan(self, vehicle: int, route: list[int]) -> dict:
+        """Full traversal: arrivals, cost, end time, break events,
+        time-feasibility.
+
+        Breaks use a take-late greedy: each pending break is postponed
+        until the next leg would overshoot its latest start (an
+        approximation of the reference's exact break scheduling —
+        cpp/src/routing/node/break_node.cuh — chosen because it keeps the
+        traversal single-pass and mask-friendly)."""
         ti = self.type_index[int(self.veh_type[vehicle])]
         t = self.time_mats[ti]
+        cmat = self.cost_mats[ti]
+        if not route:
+            return dict(arrivals=np.zeros(0), time_ok=True, cost=0.0,
+                        end_time=float(self.veh_tw_early[vehicle]),
+                        breaks=[])
+        pending = list(self.breaks[vehicle]) if self.has_breaks(vehicle) \
+            else []
         cur_loc = self.veh_start[vehicle]
         now = self.veh_tw_early[vehicle]
+        cost = float(self.veh_fixed_cost[vehicle]) if route else 0.0
         arr = []
+        events = []
         ok = True
+
+        def take_break(b, next_loc):
+            """Take break b now, possibly detouring via a break location.
+            Returns the location we end at (for located breaks the vehicle
+            continues from the break location)."""
+            nonlocal now, cost, cur_loc, ok
+            if b["locs"] is not None and len(b["locs"]):
+                # choose the break location minimizing the cost detour
+                # cur -> bl -> next
+                bls = np.asarray(b["locs"], np.int64)
+                detour = cmat[cur_loc, bls] + (
+                    cmat[bls, next_loc] - cmat[cur_loc, next_loc]
+                    if next_loc >= 0 else 0.0
+                )
+                bl = int(bls[int(np.argmin(detour))])
+                start = max(now + t[cur_loc, bl], b["early"])
+                cost += float(cmat[cur_loc, bl])
+                cur_loc = bl
+            else:
+                start = max(now, b["early"])
+            if start > b["late"] + 1e-9:
+                ok = False
+            events.append(dict(
+                start=float(start), duration=float(b["duration"]),
+                location=int(cur_loc),
+            ))
+            now = start + b["duration"]
+
+        def must_take_now(b, next_depart, next_loc):
+            """Postponing past the next stop means the break starts no
+            earlier than next_depart (+ travel to a break location)."""
+            lb = next_depart
+            if b["locs"] is not None and len(b["locs"]):
+                bls = np.asarray(b["locs"], np.int64)
+                lb = next_depart + float(np.min(t[next_loc, bls]))
+            return lb > b["late"] + 1e-9
+
         for k, o in enumerate(route):
             lo = self.order_loc[o]
-            travel = 0.0 if (k == 0 and self.skip_first[vehicle]) \
-                else t[cur_loc, lo]
+            # take any pending breaks that cannot be postponed past this leg
+            while pending:
+                b = pending[0]
+                skip_leg = k == 0 and self.skip_first[vehicle]
+                travel = 0.0 if skip_leg else t[cur_loc, lo]
+                next_depart = max(now + travel, self.tw_early[o]) \
+                    + self.service[o]
+                if must_take_now(b, next_depart, int(lo)):
+                    pending.pop(0)
+                    take_break(b, int(lo))
+                else:
+                    break
+            skip_leg = k == 0 and self.skip_first[vehicle]
+            travel = 0.0 if skip_leg else t[cur_loc, lo]
+            if not skip_leg:
+                cost += float(cmat[cur_loc, lo])
             a = max(now + travel, self.tw_early[o])
             if a > self.tw_late[o] + 1e-9:
                 ok = False
             arr.append(a)
             now = a + self.service[o]
             cur_loc = lo
+        # remaining breaks at route end
+        for b in pending:
+            take_break(b, int(self.veh_return[vehicle])
+                       if not self.drop_return[vehicle] else -1)
         if route and not self.drop_return[vehicle]:
+            cost += float(cmat[cur_loc, self.veh_return[vehicle]])
             now = now + t[cur_loc, self.veh_return[vehicle]]
         if now > self.veh_tw_late[vehicle] + 1e-9:
             ok = False
-        return np.asarray(arr), ok
+        return dict(
+            arrivals=np.asarray(arr), time_ok=ok, cost=cost,
+            end_time=float(now), breaks=events,
+        )
+
+    def route_schedule(self, vehicle: int, route: list[int]):
+        """Arrival times; returns (arrivals, feasible)."""
+        plan = self.route_plan(vehicle, route)
+        return plan["arrivals"], plan["time_ok"]
 
     def route_feasible(self, vehicle: int, route: list[int]) -> bool:
         if not route:
@@ -110,27 +199,17 @@ class RoutingProblem:
                         return False
                     if self.pd_sign[o] > 0 and pos[p] < i:
                         return False
-        _, ok = self.route_schedule(vehicle, route)
-        if not ok:
+        plan = self.route_plan(vehicle, route)
+        if not plan["time_ok"]:
             return False
         if np.isfinite(self.veh_max_cost[vehicle]):
-            if self.route_cost(vehicle, route) - self.veh_fixed_cost[
-                vehicle
-            ] > self.veh_max_cost[vehicle] + 1e-9:
+            if plan["cost"] - self.veh_fixed_cost[vehicle] > \
+                    self.veh_max_cost[vehicle] + 1e-9:
                 return False
         if np.isfinite(self.veh_max_time[vehicle]):
-            arr, _ = self.route_schedule(vehicle, route)
-            if len(arr):
-                ti = self.type_index[int(self.veh_type[vehicle])]
-                end = arr[-1] + self.service[route[-1]]
-                if not self.drop_return[vehicle]:
-                    end += self.time_mats[
-                        ti, self.order_loc[route[-1]],
-                        self.veh_return[vehicle],
-                    ]
-                start = self.veh_tw_early[vehicle]
-                if end - start > self.veh_max_time[vehicle] + 1e-9:
-                    return False
+            start = self.veh_tw_early[vehicle]
+            if plan["end_time"] - start > self.veh_max_time[vehicle] + 1e-9:
+                return False
         return True
 
     def solution_cost(self, routes: dict[int, list[int]]) -> float:
@@ -244,6 +323,32 @@ def build_problem(dm) -> RoutingProblem:
                     if int(serve[o]) not in orders:
                         allowed[o, v] = False
 
+    # breaks: dimension breaks (per-fleet arrays) + per-vehicle breaks,
+    # each with optional break locations (global set_break_locations is
+    # the default for dimension breaks)
+    breaks = None
+    if dm.break_dimensions or dm.vehicle_breaks:
+        breaks = [[] for _ in range(F)]
+        g_locs = dm.break_locations
+        for bd in dm.break_dimensions:
+            for v in range(F):
+                breaks[v].append(dict(
+                    early=float(bd["earliest"][v]),
+                    late=float(bd["latest"][v]),
+                    duration=float(bd["duration"][v]),
+                    locs=g_locs,
+                ))
+        for vb in dm.vehicle_breaks:
+            v = vb["vehicle_id"]
+            breaks[v].append(dict(
+                early=vb["earliest"], late=vb["latest"],
+                duration=vb["duration"],
+                locs=vb["locations"] if vb["locations"] is not None
+                else g_locs,
+            ))
+        for v in range(F):
+            breaks[v].sort(key=lambda b: (b["late"], b["early"]))
+
     return RoutingProblem(
         n_locations=L, n_fleet=F,
         serve_orders=serve, order_loc=order_loc,
@@ -266,4 +371,5 @@ def build_problem(dm) -> RoutingProblem:
         cost_mats=cost_mats, time_mats=time_mats, type_index=type_index,
         pd_partner=pd_partner, pd_sign=pd_sign,
         allowed_vehicles=allowed,
+        breaks=breaks,
     )

@@ -57,9 +57,21 @@ def _apply_move(routes, kind, mv):
     return routes
 
 
+def _needs_exact_recheck(prob) -> bool:
+    """The jitted move evaluator scores TW/capacity/match constraints but
+    not breaks or per-vehicle max cost/time; those need a host re-check."""
+    import numpy as np
+
+    return bool(prob.breaks) or bool(
+        np.any(np.isfinite(prob.veh_max_cost))
+        or np.any(np.isfinite(prob.veh_max_time))
+    )
+
+
 def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
     from cuopt_tpu.routing.local_search import evaluate_moves
 
+    exact = _needs_exact_recheck(prob)
     L_pad = max(8, max((len(r) for r in routes.values()), default=1) + 4)
     for _ in range(max_rounds):
         if timer.expired():
@@ -68,7 +80,16 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
         delta, kind, mv = evaluate_moves(lsp, R, lens)
         if float(delta) >= -1e-7:
             break
-        routes = _apply_move(routes, kind, mv)
+        new_routes = _apply_move(
+            {v: list(r) for v, r in routes.items()}, kind, mv
+        )
+        if exact:
+            touched = {int(mv[0]), int(mv[2])}
+            if not all(
+                prob.route_feasible(v, new_routes[v]) for v in touched
+            ):
+                break  # best device move fails the exact model; stop
+        routes = new_routes
     return routes
 
 
@@ -98,7 +119,14 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     from cuopt_tpu.routing.local_search import build_ls_problem
 
     lsp = build_ls_problem(prob)
-    routes, unassigned = cheapest_insertion(prob)
+    routes = None
+    unassigned: list[int] = []
+    if data_model.initial_solutions:
+        routes, unassigned = _seed_from_initial(
+            prob, data_model.initial_solutions[0], rng
+        )
+    if routes is None:
+        routes, unassigned = cheapest_insertion(prob)
     routes = _local_search(prob, lsp, routes, timer)
     best_routes = {v: list(r) for v, r in routes.items()}
     best_cost = prob.solution_cost(best_routes)
@@ -139,16 +167,100 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
             best_cost = cost
             best_unassigned = un2
 
+    if data_model.min_vehicles:
+        best_routes = _enforce_min_vehicles(
+            prob, best_routes, data_model.min_vehicles
+        )
+
     return _build_assignment(
         prob, best_routes, best_unassigned, timer, data_model
     )
+
+
+def _seed_from_initial(prob, initial, rng):
+    """Build a starting solution from DataModel.add_initial_solutions
+    (reference data_model_view.hpp:109; format mirrors the Python wrapper
+    vehicle_routing.py add_initial_solutions: per-segment vehicle ids,
+    flat node list, node types, segment offsets). Unknown / infeasible
+    leftovers are reinserted greedily."""
+    from cuopt_tpu.routing.construction import greedy_reinsert
+
+    vehicle_ids, nodes, types, offsets = initial
+    vehicle_ids = [int(v) for v in np.asarray(vehicle_ids).ravel()]
+    nodes = [int(x) for x in np.asarray(nodes).ravel()]
+    types = [str(t) for t in types]
+    offsets = [int(x) for x in np.asarray(offsets).ravel()]
+    orig_to_serve = {int(o): i for i, o in enumerate(prob.serve_orders)}
+    routes = {v: [] for v in range(prob.n_fleet)}
+    placed = set()
+    for k, v in enumerate(vehicle_ids):
+        if v < 0 or v >= prob.n_fleet or k + 1 >= len(offsets):
+            continue
+        seg = range(offsets[k], min(offsets[k + 1], len(nodes)))
+        r = []
+        for idx in seg:
+            t = types[idx].lower() if idx < len(types) else "delivery"
+            if t in ("depot", "break"):
+                continue
+            o = orig_to_serve.get(nodes[idx])
+            if o is not None and o not in placed:
+                r.append(o)
+                placed.add(o)
+        routes[v] = r
+    # drop infeasible seeds back into the pool
+    leftovers = [o for o in range(prob.n_serve) if o not in placed]
+    for v in range(prob.n_fleet):
+        if routes[v] and not prob.route_feasible(v, routes[v]):
+            leftovers.extend(routes[v])
+            routes[v] = []
+    routes, unassigned = greedy_reinsert(prob, routes, leftovers, rng)
+    return routes, unassigned
+
+
+def _enforce_min_vehicles(prob, routes, min_vehicles):
+    """Split routes until at least min_vehicles are used (reference
+    set_min_vehicles, data_model_view.hpp; the reference treats it as a
+    hard fleet-size floor)."""
+    routes = {v: list(r) for v, r in routes.items()}
+    used = [v for v, r in routes.items() if r]
+    empty = [v for v, r in routes.items() if not r]
+    target = min(min_vehicles, prob.n_fleet)
+    while len(used) < target and empty:
+        # split the longest route's tail onto an empty vehicle
+        donor = max(used, key=lambda v: len(routes[v]), default=None)
+        if donor is None or len(routes[donor]) < 2:
+            break
+        moved = False
+        for recv in list(empty):
+            tail = routes[donor][len(routes[donor]) // 2:]
+            head = routes[donor][: len(routes[donor]) // 2]
+            # keep PD pairs together: pull partners into the tail
+            if prob.pd_partner is not None:
+                tail_set = set(tail)
+                for o in list(tail):
+                    pr = int(prob.pd_partner[o])
+                    if pr >= 0 and pr not in tail_set:
+                        head = [x for x in head if x != pr]
+                        tail = [pr] + tail
+                        tail_set.add(pr)
+            if prob.route_feasible(recv, tail) and \
+                    prob.route_feasible(donor, head):
+                routes[donor] = head
+                routes[recv] = tail
+                used.append(recv)
+                empty.remove(recv)
+                moved = True
+                break
+        if not moved:
+            break
+    return routes
 
 
 def _empty_route_df():
     import pandas as pd
 
     return pd.DataFrame(
-        columns=["route", "arrival_stamp", "truck_id", "location"]
+        columns=["route", "arrival_stamp", "truck_id", "location", "type"]
     )
 
 
@@ -164,30 +276,37 @@ def _build_assignment(prob, routes, unassigned, timer, dm):
         if not r:
             continue
         used += 1
-        cost = prob.route_cost(v, r)
+        plan = prob.route_plan(v, r)
+        cost = plan["cost"]
+        arr = plan["arrivals"]
         total_cost += cost
-        arr, ok = prob.route_schedule(v, r)
-        ti = prob.type_index[int(prob.veh_type[v])]
         start_time = prob.veh_tw_early[v]
         if not prob.skip_first[v]:
-            rows.append((0, float(start_time), v, int(prob.veh_start[v])))
-        for o, a in zip(r, arr):
             rows.append((
-                int(prob.serve_orders[o]), float(a), v,
-                int(prob.order_loc[o]),
+                0, float(start_time), v, int(prob.veh_start[v]), "Depot",
             ))
+        order_rows = [
+            (int(prob.serve_orders[o]), float(a), v,
+             int(prob.order_loc[o]), "Delivery"
+             if prob.pd_sign is None or prob.pd_sign[o] <= 0 else "Pickup")
+            for o, a in zip(r, arr)
+        ]
+        break_rows = [
+            (0, b["start"], v, b["location"], "Break")
+            for b in plan["breaks"]
+        ]
+        rows.extend(sorted(
+            order_rows + break_rows, key=lambda t: t[1]
+        ))
+        end = plan["end_time"]
         if not prob.drop_return[v]:
-            end = arr[-1] + prob.service[r[-1]] + prob.time_mats[
-                ti, prob.order_loc[r[-1]], prob.veh_return[v]
-            ] if len(arr) else start_time
-            rows.append((0, float(end), v, int(prob.veh_return[v])))
-            total_time += float(end - start_time)
-        elif len(arr):
-            total_time += float(
-                arr[-1] + prob.service[r[-1]] - start_time
-            )
+            rows.append((
+                0, float(end), v, int(prob.veh_return[v]), "Depot",
+            ))
+        total_time += float(end - start_time)
     df = pd.DataFrame(
-        rows, columns=["route", "arrival_stamp", "truck_id", "location"]
+        rows,
+        columns=["route", "arrival_stamp", "truck_id", "location", "type"],
     )
     if unassigned and prob.prizes is None:
         status = SolutionStatus.FAIL.value

@@ -63,7 +63,7 @@ class TestTsp:
         sol = Solve(dm, settings())
         df = sol.get_route()
         assert set(df.columns) == {
-            "route", "arrival_stamp", "truck_id", "location"
+            "route", "arrival_stamp", "truck_id", "location", "type"
         }
         # every non-depot location appears exactly once
         served = df[df["route"] != 0]["location"].tolist()
@@ -214,3 +214,93 @@ class TestValidationErrors:
         dm = DataModel(3, 1)
         with pytest.raises(ValidationError):
             dm.set_order_time_windows([10, 10, 10], [0, 20, 20])
+
+
+class TestBreaks:
+    def test_break_dimension_schedules_break(self):
+        # 3 locations in a line; one vehicle; a mandatory 5-unit break
+        # in [10, 20]. Reference: add_break_dimension
+        # (data_model_view.hpp:198).
+        n = 3
+        cost = np.array([[0, 5, 9], [5, 0, 5], [9, 5, 0]], float)
+        dm = DataModel(n, 1)
+        dm.add_cost_matrix(cost)
+        dm.add_break_dimension([10.0], [20.0], [5.0])
+        sol = Solve(dm, settings())
+        assert sol.get_status() == SolutionStatus.SUCCESS.value
+        df = sol.get_route()
+        brk = df[df["type"] == "Break"]
+        assert len(brk) == 1
+        start = float(brk.iloc[0]["arrival_stamp"])
+        assert 10.0 - 1e-6 <= start <= 20.0 + 1e-6
+        # break delays later arrivals: route end must include the 5 units
+        assert float(df.iloc[-1]["arrival_stamp"]) >= 5.0
+
+    def test_break_infeasible_window_fails_route(self):
+        # break must start in [0, 1] but takes 100 units while the
+        # vehicle time window closes at 50 -> no feasible schedule
+        n = 3
+        cost = np.array([[0, 5, 9], [5, 0, 5], [9, 5, 0]], float)
+        dm = DataModel(n, 1)
+        dm.add_cost_matrix(cost)
+        dm.set_vehicle_time_windows([0.0], [50.0])
+        dm.add_break_dimension([0.0], [1.0], [100.0])
+        sol = Solve(dm, settings(1.0))
+        assert sol.get_status() != SolutionStatus.SUCCESS.value
+
+    def test_vehicle_break_with_locations(self):
+        # break must be taken at location 3 (a pure break stop)
+        n = 4
+        cost = np.ones((n, n)) - np.eye(n)
+        dm = DataModel(n, 1, n_orders=2)
+        dm.add_cost_matrix(cost)
+        dm.set_order_locations([1, 2])
+        dm.add_vehicle_break(0, 0.0, 1.0, 2.0, locations=[3])
+        sol = Solve(dm, settings())
+        assert sol.get_status() == SolutionStatus.SUCCESS.value
+        df = sol.get_route()
+        brk = df[df["type"] == "Break"]
+        assert len(brk) == 1
+        assert int(brk.iloc[0]["location"]) == 3
+
+
+class TestMinVehicles:
+    def test_min_vehicles_splits_routes(self):
+        n = 5
+        cost = np.ones((n, n)) - np.eye(n)
+        dm = DataModel(n, 3, n_orders=4)
+        dm.add_cost_matrix(cost)
+        dm.set_order_locations([1, 2, 3, 4])
+        dm.set_min_vehicles(2)
+        sol = Solve(dm, settings())
+        assert sol.get_status() == SolutionStatus.SUCCESS.value
+        assert sol.get_vehicle_count() >= 2
+
+
+class TestInitialSolutions:
+    def test_initial_solution_seed_used(self):
+        n = 5
+        cost = np.array([
+            [0, 2, 4, 4, 3],
+            [2, 0, 1, 6, 5],
+            [4, 1, 0, 3, 4],
+            [4, 6, 3, 0, 1],
+            [3, 5, 4, 1, 0],
+        ], float)
+        dm = DataModel(n, 2, n_orders=4)
+        dm.add_cost_matrix(cost)
+        dm.set_order_locations([1, 2, 3, 4])
+        # seed: vehicle 0 serves orders 0,1; vehicle 1 serves 2,3
+        dm.add_initial_solutions(
+            [0, 1],
+            [0, 1, 2, 3],
+            ["Delivery", "Delivery", "Delivery", "Delivery"],
+            [0, 2, 4],
+        )
+        sol = Solve(dm, settings())
+        assert sol.get_status() == SolutionStatus.SUCCESS.value
+        df = sol.get_route()
+        served = sorted(
+            df[~df["type"].isin(["Depot", "Break"])]["location"].tolist()
+        )
+        assert served == [1, 2, 3, 4]
