@@ -698,6 +698,17 @@ def initial_state(dev: DeviceProblem, hp: PdlpHyperParams, dtype,
     )
 
 
+def _host_activity(prob, x):
+    """A @ x on host (per-constraint residual checks)."""
+    act = np.zeros(prob.n_constraints)
+    rows = np.repeat(
+        np.arange(prob.n_constraints, dtype=np.int64),
+        np.diff(prob.offsets),
+    )
+    np.add.at(act, rows, prob.values * x[prob.indices])
+    return act
+
+
 # ============================================================== host driver
 class PdlpSolver:
     """Host driver: builds the device problem, runs jitted major
@@ -732,17 +743,24 @@ class PdlpSolver:
         dev = build_device_problem(
             self.prob, self.hp, self.dtype, settings.operator_kind
         )
-        state = initial_state(
-            dev, self.hp, self.dtype,
-            settings.initial_primal_solution,
-            settings.initial_dual_solution,
-        )
+        if settings.warm_start_data is not None:
+            from cuopt_tpu.lp.warm_start import restore_state
+
+            state = restore_state(settings.warm_start_data, dev,
+                                  self.dtype)
+        else:
+            state = initial_state(
+                dev, self.hp, self.dtype,
+                settings.initial_primal_solution,
+                settings.initial_dual_solution,
+            )
         status = C.CUOPT_TERIMINATION_STATUS_NO_TERMINATION
         report = None
         use_avg = False
         it = 0
         inf_streak = 0
         unb_streak = 0
+        best_primal = None  # (obj, x) under save_best_primal_so_far
         # strict: first detection terminates; non-strict: require two
         # consecutive majors agreeing (reference pdlp.cu:718-723)
         needed_streak = 1 if settings.strict_infeasibility else 2
@@ -751,6 +769,18 @@ class PdlpSolver:
             f"{self.prob.n_variables} cols, {self.prob.nnz} nnz, "
             f"operator={type(dev.op).__name__}, dtype={settings.dtype}"
         )
+        rhs_norm = float(np.sqrt(np.nansum(np.square(np.where(
+            np.isfinite(self.prob.constraint_lower_bounds)
+            | np.isfinite(self.prob.constraint_upper_bounds),
+            np.maximum(
+                np.abs(np.where(
+                    np.isfinite(self.prob.constraint_lower_bounds),
+                    self.prob.constraint_lower_bounds, 0.0)),
+                np.abs(np.where(
+                    np.isfinite(self.prob.constraint_upper_bounds),
+                    self.prob.constraint_upper_bounds, 0.0)),
+            ), 0.0)))))
+        t = settings.tolerances
         while True:
             state, report = self.major_fn(dev, state)
             # single host sync per major iteration
@@ -758,6 +788,53 @@ class PdlpSolver:
             opt_avg = bool(report["opt_avg"])
             numerical = bool(report["numerical_error"])
             it = int(report["total_steps"])
+            info_c = report["info_cur"]
+            self.log.debug(
+                f"  {it:>8d}  obj {float(info_c['primal_obj']):+.8e}  "
+                f"dual {float(info_c['dual_obj']):+.8e}  "
+                f"gap {float(info_c['gap']):.2e}  "
+                f"|rp| {float(info_c['l2_primal_res']):.2e}  "
+                f"|rd| {float(info_c['l2_dual_res']):.2e}"
+            )
+            if settings.per_constraint_residual and (opt_cur or opt_avg):
+                # strengthen termination: every constraint's violation must
+                # meet abs + rel * |b_i| (reference per_constraint_residual,
+                # solver_settings.hpp:186)
+                for flag, which in ((opt_cur, "cur"), (opt_avg, "avg")):
+                    if not flag:
+                        continue
+                    xx = np.asarray(report[f"x_{which}"])
+                    act = _host_activity(self.prob, xx)
+                    lo = self.prob.constraint_lower_bounds
+                    hi = self.prob.constraint_upper_bounds
+                    vio = np.maximum(
+                        np.where(np.isfinite(lo), lo - act, 0.0),
+                        np.where(np.isfinite(hi), act - hi, 0.0),
+                    )
+                    limit = t.absolute_primal_tolerance + \
+                        t.relative_primal_tolerance * np.maximum(
+                            np.abs(np.where(np.isfinite(lo), lo, 0.0)),
+                            np.abs(np.where(np.isfinite(hi), hi, 0.0)),
+                        )
+                    if np.any(vio > limit):
+                        if which == "cur":
+                            opt_cur = False
+                        else:
+                            opt_avg = False
+            if settings.save_best_primal_so_far or \
+                    settings.first_primal_feasible:
+                ok_p = float(info_c["l2_primal_res"]) <= (
+                    t.absolute_primal_tolerance
+                    + t.relative_primal_tolerance * rhs_norm
+                )
+                if ok_p:
+                    obj_c = float(info_c["primal_obj"])
+                    if best_primal is None or obj_c < best_primal[0]:
+                        best_primal = (obj_c, np.asarray(report["x_cur"]))
+                    if settings.first_primal_feasible:
+                        status = \
+                            C.CUOPT_TERIMINATION_STATUS_PRIMAL_FEASIBLE
+                        break
             if opt_cur or opt_avg:
                 status = C.CUOPT_TERIMINATION_STATUS_OPTIMAL
                 use_avg = opt_avg and not opt_cur
@@ -808,6 +885,14 @@ class PdlpSolver:
             "linf_primal_residual": float(info["linf_primal_res"]),
             "linf_dual_residual": float(info["linf_dual_res"]),
         }
+        if settings.save_best_primal_so_far and best_primal is not None \
+                and best_primal[0] < sol["primal_objective"]:
+            sol["primal_solution"] = best_primal[1]
+            sol["primal_objective"] = best_primal[0]
+        # full internal state for re-solves (reference pdlp.cu:470-488)
+        from cuopt_tpu.lp.warm_start import capture_warm_start
+
+        sol["warm_start_data"] = capture_warm_start(dev, state)
         # undo the minimize transform for maximize problems
         if self.prob.maximize:
             sol["primal_objective"] = -sol["primal_objective"]

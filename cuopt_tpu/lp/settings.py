@@ -76,6 +76,17 @@ class PDLPSolverSettings:
         t.absolute_gap_tolerance = eps
         t.relative_gap_tolerance = eps
 
+    def set_pdlp_warm_start_data(self, data) -> None:
+        """Feed a prior solve's full internal state back in (reference
+        solver_settings.hpp:138-163)."""
+        self.warm_start_data = data
+
+    def set_initial_primal_solution(self, x) -> None:
+        self.initial_primal_solution = x
+
+    def set_initial_dual_solution(self, y) -> None:
+        self.initial_dual_solution = y
+
 
 @dataclass
 class MIPSolverSettings:
@@ -89,6 +100,19 @@ class MIPSolverSettings:
     solution_file: str = ""
     user_problem_file: str = ""
     dtype: str = "float64"
+    # user initial solutions (reference mip solver_settings.hpp:55)
+    initial_solutions: list = field(default_factory=list)
+    # incumbent callbacks (reference internals.hpp:28-79; Python
+    # solver_settings.py set_mip_callback :241)
+    mip_callbacks: list = field(default_factory=list)
+
+    def set_initial_solution(self, x) -> None:
+        import numpy as _np
+
+        self.initial_solutions.append(_np.asarray(x, float))
+
+    def set_mip_callback(self, callback) -> None:
+        self.mip_callbacks.append(callback)
 
 
 # --------------------------------------------------------------------------
@@ -222,3 +246,11 @@ class SolverSettings:
 
     def set_optimality_tolerance(self, eps: float):
         self.pdlp.set_optimality_tolerance(eps)
+
+    def set_mip_callback(self, callback) -> None:
+        """Register a GetSolutionCallback / SetSolutionCallback (reference
+        solver_settings.py:241)."""
+        self.mip.set_mip_callback(callback)
+
+    def set_initial_solution(self, x) -> None:
+        self.mip.set_initial_solution(x)

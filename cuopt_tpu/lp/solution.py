@@ -84,6 +84,12 @@ class Solution:
         return self.get_additional_termination_information()
 
     # --- milp extras (populated by MIP solver) ---
+    def get_pdlp_warm_start_data(self):
+        """Full PDLP internal state for re-solves (reference
+        pdlp_warm_start_data.hpp; settable via
+        SolverSettings.set_pdlp_warm_start_data)."""
+        return self._raw.get("warm_start_data")
+
     def get_mip_gap(self) -> float:
         return self._raw.get("mip_gap", float("nan"))
 

@@ -41,6 +41,10 @@ class _Node:
     x_warm: np.ndarray | None = field(compare=False, default=None)
     y_warm: np.ndarray | None = field(compare=False, default=None)
     depth: int = field(compare=False, default=0)
+    # pseudo-cost bookkeeping: which branch created this node
+    branch_var: int = field(compare=False, default=-1)
+    branch_up: bool = field(compare=False, default=False)
+    branch_frac: float = field(compare=False, default=0.0)
 
 
 class BranchAndBound:
@@ -70,6 +74,59 @@ class BranchAndBound:
         self.nodes_explored = 0
         self.simplex_iters = 0
         self.solution_callbacks = []
+        # incumbent exchange is cross-thread in concurrent mode
+        # (reference mip/solver.cu:150-166 callback wiring)
+        import threading
+
+        self._lock = threading.Lock()
+        # pseudo-costs (reference dual_simplex/pseudo_costs.cpp): average
+        # objective degradation per unit fraction, per direction
+        n_vars = prob.n_variables
+        self._pc_up = np.zeros(n_vars)
+        self._pc_dn = np.zeros(n_vars)
+        self._pc_up_n = np.zeros(n_vars, np.int64)
+        self._pc_dn_n = np.zeros(n_vars, np.int64)
+
+    def _update_pseudo_cost(self, node, child_bound):
+        j = node.branch_var
+        if j < 0 or node.branch_frac <= 1e-12 or \
+                not math.isfinite(child_bound) or \
+                not math.isfinite(node.bound):
+            return
+        gain = max(child_bound - node.bound, 0.0)
+        if node.branch_up:
+            f = 1.0 - node.branch_frac
+            self._pc_up[j] = (self._pc_up[j] * self._pc_up_n[j]
+                              + gain / max(f, 1e-9)) / (
+                self._pc_up_n[j] + 1)
+            self._pc_up_n[j] += 1
+        else:
+            f = node.branch_frac
+            self._pc_dn[j] = (self._pc_dn[j] * self._pc_dn_n[j]
+                              + gain / max(f, 1e-9)) / (
+                self._pc_dn_n[j] + 1)
+            self._pc_dn_n[j] += 1
+
+    def _select_branch_var(self, x, frac):
+        """Pseudo-cost product rule with fractionality fallback for
+        uninitialized variables."""
+        cand = np.where(frac > self.int_tol)[0]
+        if len(cand) == 0:
+            return -1
+        f = frac[cand]
+        has_pc = (self._pc_up_n[cand] > 0) & (self._pc_dn_n[cand] > 0)
+        if has_pc.any() and has_pc.mean() > 0.3:
+            dn = np.where(self._pc_dn_n[cand] > 0, self._pc_dn[cand],
+                          np.median(self._pc_dn[self._pc_dn_n > 0])
+                          if (self._pc_dn_n > 0).any() else 1.0)
+            up = np.where(self._pc_up_n[cand] > 0, self._pc_up[cand],
+                          np.median(self._pc_up[self._pc_up_n > 0])
+                          if (self._pc_up_n > 0).any() else 1.0)
+            score = np.maximum(dn * f, 1e-6) * np.maximum(
+                up * (1.0 - f), 1e-6
+            )
+            return int(cand[int(np.argmax(score))])
+        return int(cand[int(np.argmax(f))])
 
     # internal orientation: minimize (maximize already negated by caller)
     def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
@@ -118,11 +175,15 @@ class BranchAndBound:
     def set_incumbent(self, x, obj):
         """External (heuristic) incumbent injection, reference
         population.add_external_solution / set_new_solution."""
-        if obj < self.incumbent_obj - 1e-12:
+        with self._lock:
+            if obj >= self.incumbent_obj - 1e-12:
+                return
             self.incumbent = np.asarray(x, float)
             self.incumbent_obj = float(obj)
-            for cb in self.solution_callbacks:
-                cb(self.incumbent, self.incumbent_obj)
+            callbacks = list(self.solution_callbacks)
+            xc, oc = self.incumbent, self.incumbent_obj
+        for cb in callbacks:
+            cb(xc, oc)
 
     def _gap_closed(self):
         t = self.settings.tolerances
@@ -169,6 +230,7 @@ class BranchAndBound:
                 # unresolved node (limit hit): keep conservative bound
                 continue
             bound = raw["dual_objective"]
+            self._update_pseudo_cost(node, bound)
             if self.incumbent is not None and bound >= (
                 self.incumbent_obj - 1e-12
             ):
@@ -176,7 +238,9 @@ class BranchAndBound:
             x = raw["primal_solution"]
             frac = np.abs(x - np.round(x))
             frac = np.where(self.is_int, frac, 0.0)
-            j = int(np.argmax(frac))
+            j = self._select_branch_var(x, frac)
+            if j < 0 or frac[j] <= self.int_tol:
+                j = int(np.argmax(frac))
             if frac[j] <= self.int_tol:
                 # integral: candidate incumbent
                 xi = np.where(self.is_int, np.round(x), x)
@@ -206,6 +270,8 @@ class BranchAndBound:
                     bound, seq, pres.lv, pres.uv,
                     x_warm=x, y_warm=raw["dual_solution"],
                     depth=node.depth + 1,
+                    branch_var=j, branch_up=(child_dir == "up"),
+                    branch_frac=float(frac[j]),
                 ))
             if self._gap_closed():
                 break

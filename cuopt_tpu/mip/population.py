@@ -1,0 +1,178 @@
+"""Population / diversity manager for the MIP heuristic engine.
+
+Role parity with the reference diversity manager
+(cpp/src/mip/diversity/diversity_manager.cuh:38 `run_solver`,
+population.cuh:34): a fixed-size pool split into feasible/infeasible
+halves, recombination of pairs (agreeing integers fixed, disagreement
+set re-optimized by a batched feasibility-jump run), external (B&B)
+solution injection, and user solution callbacks.
+
+The recombination sub-search runs the same vmapped FJ kernels as the
+main heuristic (feasibility_jump.py) with tightened variable bounds —
+the TPU analogue of the reference's bound-prop recombiner.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+
+from cuopt_tpu.lp.internals import (
+    GetSolutionCallback,
+    SetSolutionCallback,
+)
+from cuopt_tpu.mip.rounding import is_feasible, violation
+from cuopt_tpu.utils.logger import get_logger
+
+
+class Population:
+    """Solution pool (internal minimize orientation)."""
+
+    def __init__(self, prob, max_size=16, int_tol=1e-5):
+        self.prob = prob
+        self.max_size = max_size
+        self.int_tol = int_tol
+        self.feasible: list[tuple[float, np.ndarray]] = []  # (obj, x)
+        self.infeasible: list[tuple[float, np.ndarray]] = []  # (viol, x)
+        self.callbacks = []
+        self.log = get_logger()
+
+    @property
+    def best(self):
+        return self.feasible[0] if self.feasible else None
+
+    def add(self, x, from_external=False) -> bool:
+        """Insert a candidate; returns True if it improved the best."""
+        x = np.asarray(x, float)
+        if is_feasible(self.prob, x, tol=1e-6):
+            obj = float(self.prob.objective_coefficients @ x
+                        + self.prob.objective_offset)
+            improved = not self.feasible or obj < self.feasible[0][0] - 1e-12
+            if any(abs(obj - o) < 1e-12 and np.allclose(x, xx)
+                   for o, xx in self.feasible):
+                return False
+            self.feasible.append((obj, x))
+            self.feasible.sort(key=lambda t: t[0])
+            del self.feasible[self.max_size:]
+            if improved and not from_external:
+                self._run_get_callbacks(x, obj)
+            return improved
+        v = violation(self.prob, x)
+        self.infeasible.append((v, x))
+        self.infeasible.sort(key=lambda t: t[0])
+        del self.infeasible[self.max_size:]
+        return False
+
+    # ------------------------------------------------------------ callbacks
+    def _run_get_callbacks(self, x, obj):
+        for cb in self.callbacks:
+            if isinstance(cb, GetSolutionCallback):
+                try:
+                    cb.get_solution(x.copy(), np.array([obj]))
+                except Exception as e:  # user code must not kill the solve
+                    self.log.warning(f"get_solution callback failed: {e}")
+
+    def poll_set_callbacks(self):
+        """Ask SetSolutionCallbacks for injected solutions (reference
+        callbacks_implems.hpp:28-88)."""
+        m = self.prob.n_variables
+        for cb in self.callbacks:
+            if isinstance(cb, SetSolutionCallback):
+                buf = np.full(m, np.nan)
+                if self.best is not None:
+                    buf[:] = self.best[1]
+                cost = np.array([math.inf])
+                try:
+                    cb.set_solution(buf, cost)
+                except Exception as e:
+                    self.log.warning(f"set_solution callback failed: {e}")
+                    continue
+                if np.all(np.isfinite(buf)):
+                    self.add(buf)
+
+
+def recombine(prob, xa, xb, rng, fj_budget_s=0.5, dtype="float64"):
+    """Fix integers where parents agree; re-optimize the disagreement set
+    with a short batched FJ run (reference diversity_manager.cuh
+    `recombine` :49)."""
+    import jax.numpy as jnp
+
+    from cuopt_tpu.mip.feasibility_jump import run_feasibility_jump
+
+    is_int = prob.variable_types == "I"
+    agree = is_int & (np.abs(xa - xb) < 1e-9)
+    if agree.sum() == 0 or agree.sum() == is_int.sum():
+        return None
+    sub = type(prob)(
+        offsets=prob.offsets, indices=prob.indices, values=prob.values,
+        objective_coefficients=prob.objective_coefficients,
+        objective_offset=prob.objective_offset, maximize=False,
+        constraint_lower_bounds=prob.constraint_lower_bounds,
+        constraint_upper_bounds=prob.constraint_upper_bounds,
+        row_types=prob.row_types, rhs=prob.rhs,
+        variable_lower_bounds=np.where(
+            agree, np.round(xa), prob.variable_lower_bounds
+        ),
+        variable_upper_bounds=np.where(
+            agree, np.round(xa), prob.variable_upper_bounds
+        ),
+        variable_types=prob.variable_types,
+    )
+    mix = np.where(rng.uniform(size=len(xa)) < 0.5, xa, xb)
+    starts = [mix, (xa + xb) / 2]
+    jd = jnp.float64 if dtype == "float64" else jnp.float32
+    x, obj, found = run_feasibility_jump(
+        sub, starts, fj_budget_s, seed=int(rng.integers(1 << 30)),
+        dtype=jd,
+    )
+    if not found:
+        return None
+    return np.asarray(x)
+
+
+def run_diversity_loop(prob, pop: Population, timer, deadline_s,
+                       bnb=None, rng=None, dtype="float64",
+                       x_relax=None):
+    """Evolutionary improvement loop (reference diversity_manager.cuh
+    run_solver :42): recombine + line-segment search + callback polling,
+    pushing improvements into the B&B (set_new_solution) until the
+    deadline."""
+    from cuopt_tpu.mip.feasibility_pump import line_segment_search
+
+    rng = rng or np.random.default_rng(0)
+    t_end = time.monotonic() + deadline_s
+    rounds = 0
+    while time.monotonic() < t_end and not timer.expired():
+        rounds += 1
+        pop.poll_set_callbacks()
+        improved = False
+        pool = pop.feasible[:6]
+        if len(pool) >= 2:
+            i, j = rng.choice(len(pool), size=2, replace=False)
+            child = recombine(
+                prob, pool[i][1], pool[j][1], rng,
+                fj_budget_s=min(0.5, max(t_end - time.monotonic(), 0.05)),
+                dtype=dtype,
+            )
+            if child is not None:
+                improved |= pop.add(child)
+        if x_relax is not None and pop.feasible:
+            x, obj, found = line_segment_search(
+                prob, x_relax, pop.feasible[0][1]
+            )
+            if found:
+                improved |= pop.add(x)
+        if pop.infeasible and pop.feasible:
+            # try pulling an infeasible candidate towards the best
+            x, obj, found = line_segment_search(
+                prob, pop.infeasible[0][1], pop.feasible[0][1],
+            )
+            if found:
+                improved |= pop.add(x)
+        if improved and bnb is not None and pop.best is not None:
+            bnb.set_incumbent(pop.best[1], pop.best[0])
+        if not improved and rounds > 4 and len(pop.feasible) < 2:
+            break  # nothing to evolve
+    return rounds

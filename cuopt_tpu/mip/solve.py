@@ -170,15 +170,30 @@ def _run_mip(prob, settings, timer, log):
     root_bound = root["dual_objective"] if root["status"] == \
         C.CUOPT_TERIMINATION_STATUS_OPTIMAL else -math.inf
 
-    # ---- heuristics: roundings + feasibility jump ----
+    # ---- heuristics: roundings + feasibility jump + pump ----
+    from cuopt_tpu.mip.population import Population, run_diversity_loop
+
+    pop = Population(
+        pint, int_tol=settings.tolerances.integrality_tolerance
+    )
+    pop.callbacks = list(settings.mip_callbacks)
+    for x0 in settings.initial_solutions:
+        x0 = np.asarray(x0, float)
+        if len(x0) == m:
+            x0 = np.where(is_int, np.round(x0), x0)
+            pop.add(x0)
     incumbent, incumbent_obj = None, math.inf
     starts = make_roundings(pint, x_relax, n_random=5)
     for xr in starts:
         if is_feasible(pint, xr):
             obj = float(pint.objective_coefficients @ xr
                         + pint.objective_offset)
+            pop.add(xr)
             if obj < incumbent_obj:
                 incumbent, incumbent_obj = xr, obj
+    if pop.best is not None and pop.best[0] < incumbent_obj:
+        incumbent_obj = pop.best[0]
+        incumbent = pop.best[1]
     # FJ budget: bounded slice of remaining time, scaled to problem size
     # (tiny problems don't deserve seconds of hill climbing)
     rem = timer.remaining()
@@ -198,12 +213,44 @@ def _run_mip(prob, settings, timer, log):
             if found:
                 objfj_total = objfj + float(pint.objective_offset)
                 xfj = np.where(is_int, np.round(xfj), xfj)
+                pop.add(xfj)
                 if is_feasible(pint, xfj) and objfj_total < incumbent_obj:
                     incumbent, incumbent_obj = xfj, objfj_total
         except Exception as e:  # heuristics must never kill the solve
             log.warning(f"feasibility jump failed: {e}")
 
+    # feasibility pump when nothing feasible yet (reference
+    # local_search/feasibility_pump/)
+    if incumbent is None and not timer.expired():
+        from cuopt_tpu.mip.feasibility_pump import feasibility_pump
+
+        rem = timer.remaining()
+        fp_budget = 5.0 if not math.isfinite(rem) else min(0.3 * rem, 15.0)
+        try:
+            xfp, objfp, found = feasibility_pump(
+                pint, x_relax, fp_budget,
+                int_tol=settings.tolerances.integrality_tolerance,
+                dtype=settings.dtype,
+            )
+            if found:
+                pop.add(xfp)
+                if objfp < incumbent_obj:
+                    incumbent, incumbent_obj = xfp, objfp
+        except Exception as e:
+            log.warning(f"feasibility pump failed: {e}")
+
     if settings.heuristics_only:
+        # evolutionary loop only (reference heuristics_only,
+        # mip/solver_settings.hpp)
+        rem = timer.remaining()
+        if math.isfinite(rem) and rem > 0.2:
+            run_diversity_loop(
+                pint, pop, timer, rem * 0.9, bnb=None,
+                rng=np.random.default_rng(0), dtype=settings.dtype,
+                x_relax=x_relax,
+            )
+        if pop.best is not None:
+            incumbent_obj, incumbent = pop.best
         if incumbent is not None:
             status = C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND
             return _make_raw(prob, sign, incumbent, incumbent_obj,
@@ -213,17 +260,55 @@ def _run_mip(prob, settings, timer, log):
             C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT, timer=timer,
         )
 
-    # ---- branch & bound ----
+    # ---- branch & bound concurrent with the evolutionary loop ----
+    # (reference mip/solver.cu:125-190: B&B via std::async + GPU
+    # heuristics on the main thread, incumbents exchanged both ways)
+    import threading
+
     bnb = BranchAndBound(pint, settings)
+    bnb.solution_callbacks.append(lambda x, o: pop.add(x, from_external=True))
     if incumbent is not None:
         bnb.set_incumbent(incumbent, incumbent_obj)
     if math.isfinite(root_bound):
         bnb.best_bound = root_bound
-    res = bnb.solve(timer)
+    res_box = {}
+
+    def run_bnb():
+        try:
+            res_box["res"] = bnb.solve(timer)
+        except Exception as e:  # pragma: no cover
+            log.warning(f"branch and bound failed: {e}")
+            res_box["res"] = None
+
+    rem = timer.remaining()
+    concurrent = (
+        math.isfinite(rem) and rem > 3.0 and len(pop.feasible) >= 1
+        and m > 20
+    )
+    if concurrent:
+        th = threading.Thread(target=run_bnb, daemon=True)
+        th.start()
+        run_diversity_loop(
+            pint, pop, timer, rem * 0.5, bnb=bnb,
+            rng=np.random.default_rng(1), dtype=settings.dtype,
+            x_relax=x_relax,
+        )
+        th.join()
+    else:
+        run_bnb()
+    res = res_box.get("res")
+    if res is None:
+        res = dict(status=C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT,
+                   incumbent=None, incumbent_obj=math.inf,
+                   best_bound=root_bound, nodes=0, simplex_iters=0)
     status = res["status"]
     x = res["incumbent"]
     obj = res["incumbent_obj"]
     bound = res["best_bound"]
+    if pop.best is not None and (x is None or pop.best[0] < obj - 1e-12):
+        obj, x = pop.best
+        if status != C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+            status = C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND
     if x is None and incumbent is not None:
         x, obj = incumbent, incumbent_obj
         status = C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND

@@ -268,3 +268,82 @@ class TestSettingsRegistry:
         s = SolverSettings()
         s.set_optimality_tolerance(1e-6)
         assert s.pdlp.tolerances.relative_gap_tolerance == 1e-6
+
+
+class TestWarmStart:
+    """PDLP warm-start data export/import (reference
+    pdlp_warm_start_data.hpp; pdlp.cu:470-488)."""
+
+    def test_warm_start_roundtrip(self, lp_datasets):
+        p = parse_mps(str(lp_datasets / "afiro_original.mps"))
+        # cold partial solve
+        s1 = pdlp_settings(iteration_limit=40, log_to_console=False)
+        sol1 = Solve(p, s1)
+        ws = sol1.get_pdlp_warm_start_data()
+        assert ws is not None
+        assert ws.total_pdlp_iterations >= 1
+        # resume from the warm start: must reach optimality and keep
+        # counting iterations from where it stopped
+        s2 = pdlp_settings(log_to_console=False)
+        s2.set_pdlp_warm_start_data(ws)
+        sol2 = Solve(p, s2)
+        assert sol2.get_termination_status() == \
+            C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+        assert is_correct_objective(
+            AFIRO_OBJECTIVE, sol2.get_primal_objective()
+        )
+        assert sol2.get_nb_iterations() > ws.total_pdlp_iterations
+
+    def test_warm_start_dict_roundtrip(self, lp_datasets):
+        from cuopt_tpu.lp.warm_start import PdlpWarmStartData
+
+        p = parse_mps(str(lp_datasets / "afiro_original.mps"))
+        s1 = pdlp_settings(iteration_limit=40, log_to_console=False)
+        ws = Solve(p, s1).get_pdlp_warm_start_data()
+        d = ws.to_dict()
+        ws2 = PdlpWarmStartData.from_dict(d)
+        np.testing.assert_allclose(
+            ws.current_primal_solution, ws2.current_primal_solution
+        )
+        assert ws2.initial_step_size == ws.initial_step_size
+
+
+class TestPrimalModes:
+    def test_save_best_primal_so_far(self, lp_datasets):
+        p = parse_mps(str(lp_datasets / "afiro_original.mps"))
+        s = pdlp_settings(save_best_primal_so_far=True,
+                          log_to_console=False)
+        sol = Solve(p, s)
+        assert sol.get_termination_status() == \
+            C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+
+    def test_first_primal_feasible_stops_early(self, lp_datasets):
+        p = parse_mps(str(lp_datasets / "afiro_original.mps"))
+        s = pdlp_settings(first_primal_feasible=True,
+                          log_to_console=False)
+        sol = Solve(p, s)
+        assert sol.get_termination_status() in (
+            C.CUOPT_TERIMINATION_STATUS_PRIMAL_FEASIBLE,
+            C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+        )
+
+    def test_per_constraint_residual_mode(self, lp_datasets):
+        p = parse_mps(str(lp_datasets / "afiro_original.mps"))
+        s = pdlp_settings(per_constraint_residual=True,
+                          log_to_console=False)
+        sol = Solve(p, s)
+        assert sol.get_termination_status() == \
+            C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+        # every constraint individually within tolerance
+        x = sol.get_primal_solution()
+        act = p.to_dense() @ x
+        lo, hi = p.constraint_lower_bounds, p.constraint_upper_bounds
+        vio = np.maximum(
+            np.where(np.isfinite(lo), lo - act, 0.0),
+            np.where(np.isfinite(hi), act - hi, 0.0),
+        )
+        lim = 1e-4 + 1e-4 * np.maximum(
+            np.abs(np.where(np.isfinite(lo), lo, 0.0)),
+            np.abs(np.where(np.isfinite(hi), hi, 0.0)),
+        )
+        assert np.all(vio <= lim + 1e-12)

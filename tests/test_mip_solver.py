@@ -140,3 +140,107 @@ def test_feasibility_jump_finds_solution():
     x, obj, found = run_feasibility_jump(prob, [x0], 5.0)
     assert found
     assert np.all(A @ x >= 1.0 - 1e-6)
+
+
+def test_feasibility_pump_finds_feasible():
+    """FP on a pure feasibility problem (zero objective, equality-ish
+    constraints) where naive roundings fail often."""
+    from cuopt_tpu.mip.feasibility_pump import feasibility_pump
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+
+    rng = np.random.default_rng(7)
+    m, n = 12, 8
+    A = rng.integers(-3, 4, (n, m)).astype(float)
+    x_true = rng.integers(0, 5, m).astype(float)
+    b = A @ x_true
+    rows = np.repeat(np.arange(n), m)
+    p = OptimizationProblem(
+        offsets=np.arange(0, n * m + 1, m),
+        indices=np.tile(np.arange(m), n),
+        values=A.ravel(),
+        objective_coefficients=np.zeros(m),
+        constraint_lower_bounds=b - 0.5,
+        constraint_upper_bounds=b + 0.5,
+        variable_lower_bounds=np.zeros(m),
+        variable_upper_bounds=np.full(m, 6.0),
+        variable_types=np.full(m, "I", "U1"),
+        row_types=np.full(n, "E", "U1"),
+        rhs=b,
+    )
+    x0 = np.clip(x_true + rng.uniform(-0.45, 0.45, m), 0, 6)
+    x, obj, found = feasibility_pump(p, x0, time_budget_s=60.0)
+    assert found
+    act = A @ x
+    assert np.all(act >= b - 0.5 - 1e-6) and np.all(act <= b + 0.5 + 1e-6)
+
+
+def test_line_segment_search():
+    from cuopt_tpu.mip.feasibility_pump import line_segment_search
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+
+    # min -x1 - x2 s.t. x1 + x2 <= 7.5, x in [0, 5], integer
+    p = OptimizationProblem(
+        offsets=np.array([0, 2]),
+        indices=np.array([0, 1]),
+        values=np.array([1.0, 1.0]),
+        objective_coefficients=np.array([-1.0, -1.0]),
+        constraint_lower_bounds=np.array([-np.inf]),
+        constraint_upper_bounds=np.array([7.5]),
+        variable_lower_bounds=np.zeros(2),
+        variable_upper_bounds=np.full(2, 5.0),
+        variable_types=np.full(2, "I", "U1"),
+        row_types=np.array(["L"], "U1"),
+        rhs=np.array([7.5]),
+    )
+    x, obj, found = line_segment_search(
+        p, np.array([0.0, 0.0]), np.array([3.75, 3.75])
+    )
+    assert found
+    assert x[0] + x[1] <= 7.5
+
+
+def test_incumbent_callbacks(mip_datasets):
+    """GetSolutionCallback receives incumbents; SetSolutionCallback can
+    inject one (reference incumbent_callback_test.cu + internals.hpp)."""
+    from cuopt_tpu.lp.internals import (
+        GetSolutionCallback,
+        SetSolutionCallback,
+    )
+
+    received = []
+
+    class Get(GetSolutionCallback):
+        def get_solution(self, solution, solution_cost):
+            received.append((solution.copy(), float(solution_cost[0])))
+
+    class Set(SetSolutionCallback):
+        def __init__(self):
+            self.calls = 0
+
+        def set_solution(self, solution, solution_cost):
+            self.calls += 1
+
+    p = parse_mps(str(mip_datasets / "sample.mps"))
+    s = mip_settings()
+    g, st = Get(), Set()
+    s.set_mip_callback(g)
+    s.set_mip_callback(st)
+    sol = Solve(p, s)
+    assert sol.get_termination_status() in (
+        C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+        C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND,
+    )
+    assert len(received) >= 1
+    # best received incumbent matches the final solution cost direction
+    best = min(c for _, c in received)
+    assert best <= max(c for _, c in received) + 1e-9
+
+
+def test_initial_solution_used(mip_datasets):
+    p = parse_mps(str(mip_datasets / "sample.mps"))
+    s = mip_settings()
+    # sample.mps optimum: x=4, y=2 obj -28 (maximize)
+    s.set_initial_solution(np.array([4.0, 2.0]))
+    sol = Solve(p, s)
+    assert abs(sol.get_primal_objective() - (-28.0)) < 1e-3 or \
+        abs(sol.get_primal_objective() - 28.0) < 1e-3
