@@ -113,13 +113,21 @@ class CuOptServiceSelfHostClient:
 
     # ------------------------------------------------------------ solves
     def get_LP_solve(self, data, solver_config=None, response_type="dict",
-                     compress=False, use_msgpack=False):
+                     compress=False, use_msgpack=False,
+                     warmstart_id=None):
+        """Submit an LP/MIP. warmstart_id: a prior request id whose PDLP
+        state should seed this solve (reference thin client warm-start
+        re-use, cuopt_self_host_client.py)."""
         payload = dict(data)
         if solver_config is not None:
             if isinstance(solver_config, ThinClientSolverSettings):
                 payload["solver_config"] = solver_config.to_solver_config()
             else:
                 payload["solver_config"] = solver_config
+        if warmstart_id is not None:
+            ws = self.get_warmstart(warmstart_id)
+            if ws is not None:
+                payload["warm_start_data"] = ws
         r = self._post("/cuopt/request", payload, compress, use_msgpack)
         if r.status_code != 200:
             raise RuntimeError(f"submit failed: {r.status_code} {r.text}")
@@ -144,6 +152,16 @@ class CuOptServiceSelfHostClient:
             f"{self.base}/cuopt/solution/{req_id}/incumbents"
         )
         return r.json().get("incumbents", [])
+
+    def get_warmstart(self, req_id):
+        """Fetch a finished solve's PDLP warm-start data (reference
+        GET /cuopt/solution/{id}/warmstart, webserver.py:835)."""
+        r = requests.get(
+            f"{self.base}/cuopt/solution/{req_id}/warmstart"
+        )
+        if r.status_code != 200:
+            return None
+        return r.json().get("warmstart")
 
     def get_log(self, req_id):
         r = requests.get(f"{self.base}/cuopt/log/{req_id}")

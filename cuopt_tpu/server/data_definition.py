@@ -119,6 +119,9 @@ class LPData(StrictModel):
     variable_types: Optional[List[str]] = None
     variable_names: Optional[List[str]] = None
     solver_config: Optional[SolverConfig] = Field(default=SolverConfig())
+    # full PDLP internal state from a prior solve (reference
+    # data_definition.py WarmStartData; GET /cuopt/solution/{id}/warmstart)
+    warm_start_data: Optional[dict] = None
 
 
 class LPTupleData(StrictModel):

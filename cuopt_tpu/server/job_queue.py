@@ -99,8 +99,12 @@ class JobQueue:
             req_id = msg["req_id"]
             if msg["type"] == "result":
                 if self.store.get(req_id, {}).get("status") != "aborted":
+                    res = msg["result"]
+                    ws = res.pop("warmstart", None) \
+                        if isinstance(res, dict) else None
                     self.store[req_id] = {
-                        "status": "done", "result": msg["result"],
+                        "status": "done", "result": res,
+                        "warmstart": ws,
                     }
             elif msg["type"] == "error":
                 self.store[req_id] = {

@@ -120,6 +120,23 @@ def solve_lp_payload(payload: dict, incumbent_cb=None) -> dict:
             settings.pdlp.initial_dual_solution = np.asarray(
                 data.initial_solution.dual
             )
+    if data.warm_start_data:
+        from cuopt_tpu.lp.warm_start import PdlpWarmStartData
+
+        settings.pdlp.set_pdlp_warm_start_data(
+            PdlpWarmStartData.from_dict(data.warm_start_data)
+        )
+    if incumbent_cb is not None:
+        from cuopt_tpu.lp.internals import GetSolutionCallback
+
+        class _Stream(GetSolutionCallback):
+            def get_solution(self, solution, solution_cost):
+                incumbent_cb(
+                    np.asarray(solution, float).tolist(),
+                    float(solution_cost[0]),
+                )
+
+        settings.set_mip_callback(_Stream())
 
     sol = Solve(dm, settings)
     info = sol.get_additional_termination_information()
@@ -148,6 +165,11 @@ def solve_lp_payload(payload: dict, incumbent_cb=None) -> dict:
             "solution_bound": sol.get_solution_bound(),
             "num_nodes": sol._raw.get("nodes", 0),
         }
+    ws = sol.get_pdlp_warm_start_data()
+    if ws is not None:
+        # split off by the collector into its own store; served via
+        # GET /cuopt/solution/{id}/warmstart (reference webserver.py:835)
+        result["warmstart"] = ws.to_dict()
     return result
 
 

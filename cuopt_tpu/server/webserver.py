@@ -145,6 +145,24 @@ def make_app(n_workers: int | None = None) -> web.Application:
             {"incumbents": jq.get_incumbents(req_id)}
         )
 
+    async def warmstart(request):
+        # reference webserver.py:835 (PDLP warm-start retrieval)
+        req_id = request.match_info["req_id"]
+        res = jq.store.get(req_id)
+        if res is None:
+            return web.json_response(
+                {"error": f"unknown request {req_id}"}, status=404
+            )
+        if res.get("status") != "done":
+            return web.json_response({"reqId": req_id}, status=202)
+        ws = res.get("warmstart")
+        if ws is None:
+            return web.json_response(
+                {"error": "no warm start data for this solve"},
+                status=404,
+            )
+        return web.json_response({"warmstart": ws})
+
     async def get_log(request):
         req_id = request.match_info["req_id"]
         return web.json_response({"log": jq.get_log(req_id)})
@@ -167,6 +185,7 @@ def make_app(n_workers: int | None = None) -> web.Application:
     app.router.add_delete("/cuopt/request/{req_id}", abort)
     app.router.add_delete("/cuopt/solution/{req_id}", delete_solution)
     app.router.add_get("/cuopt/solution/{req_id}/incumbents", incumbents)
+    app.router.add_get("/cuopt/solution/{req_id}/warmstart", warmstart)
     app.router.add_get("/cuopt/log/{req_id}", get_log)
     app.router.add_delete("/cuopt/log/{req_id}", delete_log)
     # legacy managed-service endpoint (webserver.py:1224)

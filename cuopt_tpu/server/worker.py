@@ -39,7 +39,13 @@ def worker_main(worker_id, jobs, results, abort_list):
             if kind == "lp":
                 from cuopt_tpu.server.solver import solve_lp_payload
 
-                result = solve_lp_payload(payload)
+                def incumbent_cb(solution, cost, _rid=req_id):
+                    results.put({
+                        "type": "incumbent", "req_id": _rid,
+                        "incumbent": {"solution": solution, "cost": cost},
+                    })
+
+                result = solve_lp_payload(payload, incumbent_cb)
             elif kind == "routing":
                 from cuopt_tpu.server.solver import solve_routing_payload
 

@@ -178,3 +178,71 @@ def test_thin_client(server):
     assert res["response"]["solver_response"]["solution"][
         "termination_reason"
     ] == "Optimal"
+
+
+def test_warmstart_endpoint(server):
+    """GET /cuopt/solution/{id}/warmstart returns reusable PDLP state
+    (reference webserver.py:835); resubmitting with warm_start_data
+    succeeds."""
+    base = server
+    payload = dict(LP_PAYLOAD)
+    payload["solver_config"] = {"method": 1}  # PDLP path has warm start
+    r = requests.post(f"{base}/cuopt/request", json=payload)
+    req_id = r.json()["reqId"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        rr = requests.get(f"{base}/cuopt/solution/{req_id}")
+        if rr.status_code == 200:
+            break
+        time.sleep(0.3)
+    ws = requests.get(f"{base}/cuopt/solution/{req_id}/warmstart")
+    assert ws.status_code == 200
+    data = ws.json()["warmstart"]
+    assert "current_primal_solution" in data
+    # resubmit with the warm start payload
+    payload2 = dict(payload)
+    payload2["warm_start_data"] = data
+    r2 = requests.post(f"{base}/cuopt/request", json=payload2)
+    assert r2.status_code == 200
+    req2 = r2.json()["reqId"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        rr = requests.get(f"{base}/cuopt/solution/{req2}")
+        if rr.status_code == 200:
+            break
+        time.sleep(0.3)
+    assert rr.status_code == 200
+
+
+def test_mip_incumbents_streamed(server):
+    """MIP solves stream incumbents (reference /incumbents endpoint +
+    send_solution callback, utils/solver.py:337)."""
+    base = server
+    payload = {
+        "csr_constraint_matrix": {
+            "offsets": [0, 2], "indices": [0, 1], "values": [1.0, 1.0],
+        },
+        "objective_data": {"coefficients": [-1.0, -1.0], "offset": 0.0},
+        "constraint_bounds": {
+            "upper_bounds": [7.0], "lower_bounds": ["ninf"],
+        },
+        "variable_bounds": {
+            "lower_bounds": [0.0, 0.0], "upper_bounds": [5.0, 5.0],
+        },
+        "variable_types": ["I", "I"],
+        "solver_config": {"time_limit": 60},
+    }
+    r = requests.post(f"{base}/cuopt/request", json=payload)
+    req_id = r.json()["reqId"]
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        rr = requests.get(f"{base}/cuopt/solution/{req_id}")
+        if rr.status_code == 200:
+            break
+        time.sleep(0.3)
+    assert rr.status_code == 200
+    inc = requests.get(
+        f"{base}/cuopt/solution/{req_id}/incumbents"
+    ).json()["incumbents"]
+    assert len(inc) >= 1
+    assert "solution" in inc[0] and "cost" in inc[0]
