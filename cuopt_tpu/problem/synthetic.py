@@ -23,13 +23,29 @@ def generate_lp(
     nnz_per_row: int = 8,
     seed: int = 0,
     equality_fraction: float = 0.0,
+    band: int | None = None,
 ) -> OptimizationProblem:
+    """band=None: uniform random columns. band=W: staircase structure —
+    row i's columns drawn from a width-W window around its proportional
+    position (the dominant sparsity pattern of real LP families:
+    multiperiod/multicommodity/staircase models in the Mittelmann set),
+    which maps onto the MXU-friendly BlockBandOp."""
     rng = np.random.default_rng(seed)
     cols = np.empty((n_rows, nnz_per_row), np.int64)
-    for i in range(n_rows):
-        # distinct columns per row; cheap reservoir for wide rows
-        cols[i] = rng.choice(n_cols, size=nnz_per_row, replace=False) \
-            if nnz_per_row <= n_cols else rng.integers(0, n_cols, nnz_per_row)
+    if band is None:
+        for i in range(n_rows):
+            # distinct columns per row; cheap reservoir for wide rows
+            cols[i] = rng.choice(n_cols, size=nnz_per_row, replace=False) \
+                if nnz_per_row <= n_cols \
+                else rng.integers(0, n_cols, nnz_per_row)
+    else:
+        W = max(band, nnz_per_row)
+        centers = (np.arange(n_rows) * n_cols) // max(n_rows, 1)
+        starts = np.clip(centers - W // 2, 0, max(n_cols - W, 0))
+        for i in range(n_rows):
+            cols[i] = starts[i] + rng.choice(
+                min(W, n_cols), size=nnz_per_row, replace=False
+            )
     vals = rng.standard_normal((n_rows, nnz_per_row))
     offsets = np.arange(n_rows + 1, dtype=np.int64) * nnz_per_row
 

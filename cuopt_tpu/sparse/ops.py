@@ -177,16 +177,195 @@ class CsrOp(LinearOperator):
         )
 
     def row_abs_max(self):
-        return jax.ops.segment_max(
+        r = jax.ops.segment_max(
             jnp.abs(self.csr_vals), self.csr_rows,
             num_segments=self.n_rows, indices_are_sorted=True,
         )
+        return jnp.maximum(r, 0.0)  # empty rows: segment_max gives -inf
 
     def col_abs_max(self):
-        return jax.ops.segment_max(
+        r = jax.ops.segment_max(
             jnp.abs(self.csc_vals), self.csc_cols,
             num_segments=self.n_cols, indices_are_sorted=True,
         )
+        return jnp.maximum(r, 0.0)
+
+
+@struct.dataclass
+class BlockBandOp(LinearOperator):
+    """Banded block-dense operator: rows are tiled in groups of `tile`
+    (128, the MXU lane width); each row-tile stores a DENSE slab covering
+    the column window that contains all its nonzeros. matvec is a batched
+    (T, tile, W) x (T, W) einsum on the MXU — no gathers, no segment sums.
+
+    This is the TPU-first answer to cusparse CSR SpMV for the staircase /
+    banded structure that dominates real LP families (multiperiod,
+    multicommodity, network models): XLA's generic gather costs ~300x
+    speed-of-light on TPU for 1-D scatters/gathers, while dense slabs ride
+    the MXU at full HBM bandwidth. Window starts are static (computed on
+    host from the sparsity pattern), so x-window extraction compiles to
+    contiguous copies.
+
+    A transposed band (col-tiles x row windows) of the SAME matrix serves
+    rmatvec.
+    """
+
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+    tile: int = struct.field(pytree_node=False)
+    w_row: int = struct.field(pytree_node=False)  # row-slab window width
+    w_col: int = struct.field(pytree_node=False)  # col-slab window width
+    row_starts: tuple = struct.field(pytree_node=False)  # (T_r,) static
+    col_starts: tuple = struct.field(pytree_node=False)  # (T_c,) static
+    row_slabs: jax.Array  # (T_r, tile, w_row)   A row tiles
+    col_slabs: jax.Array  # (T_c, tile, w_col)   A^T col tiles
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    def _windows(self, v, starts, width, total):
+        pad = jnp.zeros((width,), v.dtype)
+        vp = jnp.concatenate([v, pad])
+        return jnp.stack(
+            [jax.lax.slice(vp, (s,), (s + width,)) for s in starts]
+        )
+
+    def matvec(self, x):
+        xw = self._windows(x, self.row_starts, self.w_row, self.n_cols)
+        out = jnp.einsum(
+            "trw,tw->tr", self.row_slabs, xw,
+            preferred_element_type=self.row_slabs.dtype,
+        )
+        return out.reshape(-1)[: self.n_rows]
+
+    def rmatvec(self, y):
+        yw = self._windows(y, self.col_starts, self.w_col, self.n_rows)
+        out = jnp.einsum(
+            "trw,tw->tr", self.col_slabs, yw,
+            preferred_element_type=self.col_slabs.dtype,
+        )
+        return out.reshape(-1)[: self.n_cols]
+
+    def _scatter_cols(self, partials, starts, width, total):
+        """Sum per-tile window reductions back onto the full axis.
+        Windows can overlap, so accumulate tile by tile (host-unrolled:
+        runs once per solve during scaling)."""
+        out = jnp.zeros((total + width,), partials.dtype)
+        for t, s in enumerate(starts):
+            seg = jax.lax.dynamic_slice(out, (s,), (width,))
+            out = jax.lax.dynamic_update_slice(out, seg + partials[t], (s,))
+        return out[:total]
+
+    def rescale(self, row_scale, col_scale):
+        rw = self._windows(
+            col_scale, self.row_starts, self.w_row, self.n_cols
+        )
+        rs_pad = jnp.concatenate([
+            row_scale, jnp.zeros((self.row_slabs.shape[0] * self.tile
+                                  - self.n_rows,), row_scale.dtype)
+        ]).reshape(-1, self.tile)
+        cw = self._windows(
+            row_scale, self.col_starts, self.w_col, self.n_rows
+        )
+        cs_pad = jnp.concatenate([
+            col_scale, jnp.zeros((self.col_slabs.shape[0] * self.tile
+                                  - self.n_cols,), col_scale.dtype)
+        ]).reshape(-1, self.tile)
+        return self.replace(
+            row_slabs=self.row_slabs * rs_pad[:, :, None] * rw[:, None, :],
+            col_slabs=self.col_slabs * cs_pad[:, :, None] * cw[:, None, :],
+        )
+
+    def abs_max(self):
+        return jnp.max(jnp.abs(self.row_slabs))
+
+    def row_abs_reduce(self, power):
+        r = jnp.sum(jnp.abs(self.row_slabs) ** power, axis=2)
+        return r.reshape(-1)[: self.n_rows]
+
+    def col_abs_reduce(self, power):
+        r = jnp.sum(jnp.abs(self.col_slabs) ** power, axis=2)
+        return r.reshape(-1)[: self.n_cols]
+
+    def row_abs_max(self):
+        r = jnp.max(jnp.abs(self.row_slabs), axis=2)
+        return r.reshape(-1)[: self.n_rows]
+
+    def col_abs_max(self):
+        r = jnp.max(jnp.abs(self.col_slabs), axis=2)
+        return r.reshape(-1)[: self.n_cols]
+
+
+def _band_layout(offsets, indices, n_axis, n_other, tile):
+    """Per-tile column windows along `n_axis` rows.
+
+    Returns (starts (T,), width W, T). starts are clamped so every window
+    fits inside [0, max(n_other, W)] — the operand vector is zero-padded
+    to that length on device."""
+    T = (n_axis + tile - 1) // tile
+    starts = np.zeros(T, np.int64)
+    width = tile
+    los = np.zeros(T, np.int64)
+    for t in range(T):
+        a = offsets[min(t * tile, n_axis)]
+        b = offsets[min((t + 1) * tile, n_axis)]
+        if b > a:
+            lo = int(indices[a:b].min())
+            hi = int(indices[a:b].max())
+            los[t] = lo
+            width = max(width, hi - lo + 1)
+    width = ((width + tile - 1) // tile) * tile
+    starts[:] = los  # operand vectors are zero-padded by `width` on device
+    return starts, width, T
+
+
+def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
+                np_dtype):
+    """(slabs (T, tile, W), starts tuple, W). None if the band blows up."""
+    starts, W, T = _band_layout(offsets, indices, n_axis, n_other, tile)
+    slab_elems = T * tile * W
+    nnz = len(values)
+    # The MXU/HBM slab path beats XLA gathers by ~2 orders of magnitude,
+    # so tolerate a generous density blow-up before falling back.
+    if slab_elems > max(128 * max(nnz, 1), 1 << 22) or \
+            slab_elems * np.dtype(np_dtype).itemsize > (1 << 29):
+        return None
+    slabs = np.zeros((T, tile, W), np_dtype)
+    for t in range(T):
+        for i in range(t * tile, min((t + 1) * tile, n_axis)):
+            a, b = offsets[i], offsets[i + 1]
+            if b > a:
+                slabs[t, i - t * tile, indices[a:b] - starts[t]] += \
+                    values[a:b]
+    return slabs, tuple(int(s) for s in starts), W
+
+
+def build_block_band(offsets, indices, values, n_rows, n_cols, dtype,
+                     tile=128):
+    """Build a BlockBandOp, or None when the matrix has no usable band
+    structure (window blow-up guard in _band_slabs)."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    row = _band_slabs(offsets, indices, values, n_rows, n_cols, tile,
+                      np_dtype)
+    if row is None:
+        return None
+    t_offsets, t_indices, t_values, _ = _transpose_csr(
+        offsets, indices, values, n_rows, n_cols
+    )
+    col = _band_slabs(t_offsets, t_indices, t_values, n_cols, n_rows,
+                      tile, np_dtype)
+    if col is None:
+        return None
+    row_slabs, row_starts, w_row = row
+    col_slabs, col_starts, w_col = col
+    return BlockBandOp(
+        n_rows=n_rows, n_cols=n_cols, tile=tile,
+        w_row=w_row, w_col=w_col,
+        row_starts=row_starts, col_starts=col_starts,
+        row_slabs=jnp.asarray(row_slabs, dtype),
+        col_slabs=jnp.asarray(col_slabs, dtype),
+    )
 
 
 # --------------------------------------------------------------------- build
@@ -227,15 +406,29 @@ def build_operator(
 ) -> LinearOperator:
     """Build the best operator for this sparsity pattern.
 
-    kind: 'auto' | 'dense' | 'ell' | 'csr'.
-    auto: dense if n_rows*n_cols small; else ELL when padded size is within
-    ell_padding_limit x nnz; else CSR segment-sum.
+    kind: 'auto' | 'dense' | 'blockband' | 'ell' | 'csr'.
+    auto: dense if n_rows*n_cols small; else blockband when the sparsity
+    has usable band/staircase structure (MXU path, no gathers); else ELL
+    when padded size is within ell_padding_limit x nnz; else CSR
+    segment-sum.
     """
     offsets = np.asarray(offsets, np.int64)
     indices = np.asarray(indices, np.int64)
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     values = np.asarray(values, np_dtype)
     nnz = len(values)
+
+    if kind in ("auto", "blockband") and n_rows > 0 and n_cols > 0 and \
+            not (kind == "auto" and n_rows * n_cols <= dense_size_limit):
+        op = build_block_band(
+            offsets, indices, values, n_rows, n_cols, dtype
+        )
+        if op is not None:
+            return op
+        if kind == "blockband":
+            raise ValueError(
+                "matrix has no usable band structure for 'blockband'"
+            )
 
     if kind == "auto":
         if n_rows * n_cols <= dense_size_limit:
