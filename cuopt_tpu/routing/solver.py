@@ -128,44 +128,56 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     if routes is None:
         routes, unassigned = cheapest_insertion(prob)
     routes = _local_search(prob, lsp, routes, timer)
-    best_routes = {v: list(r) for v, r in routes.items()}
-    best_cost = prob.solution_cost(best_routes)
-    best_unassigned = list(unassigned)
 
-    # diversify: ruin & recreate restarts until the budget runs out
-    # (role of the reference's GES perturbation + recombiners)
-    while not timer.expired() and prob.n_serve > 1:
-        routes = {v: list(r) for v, r in best_routes.items()}
-        n_remove = max(1, int(0.15 * prob.n_serve))
-        candidates = [
-            (v, i) for v, r in routes.items() for i in range(len(r))
-        ]
-        if not candidates:
-            break
-        rng.shuffle(candidates)
-        removed = []
-        removed_set = set()
-        for v, i in candidates[:n_remove]:
-            pass
-        # remove by value, not index (indices shift)
-        to_remove = set()
-        for v, i in candidates[:n_remove]:
-            o = best_routes[v][i]
-            if prob.pd_partner is not None and prob.pd_partner[o] >= 0:
-                to_remove.add(int(prob.pd_partner[o]))
-            to_remove.add(o)
-        for v in routes:
-            routes[v] = [o for o in routes[v] if o not in to_remove]
-        removed = list(to_remove) + list(best_unassigned)
-        routes, un2 = greedy_reinsert(prob, routes, removed, rng)
+    from cuopt_tpu.routing.diversity import (
+        RoutingPopulation,
+        ox_single_route,
+        prize_filter,
+        ruin_recreate,
+        srex,
+    )
+    from cuopt_tpu.routing.ges import minimize_routes
+
+    # GES route minimization pays when emptying a route saves fixed cost
+    # (reference runs it unconditionally for route-count-first objectives)
+    if np.any(prob.veh_fixed_cost > 0) and prob.pd_partner is None:
+        routes = minimize_routes(
+            prob, routes, timer, rng,
+            budget_s=0.25 * max(timer.remaining(), 0.0),
+            target=data_model.min_vehicles or 0,
+        )
         routes = _local_search(prob, lsp, routes, timer)
-        cost = prob.solution_cost(routes)
-        if len(un2) < len(best_unassigned) or (
-            len(un2) == len(best_unassigned) and cost < best_cost - 1e-9
-        ):
-            best_routes = {v: list(r) for v, r in routes.items()}
-            best_cost = cost
-            best_unassigned = un2
+
+    if prob.prizes is not None:
+        routes, unassigned = prize_filter(prob, routes, unassigned)
+
+    pop = RoutingPopulation()
+    pop.add(prob, routes, unassigned)
+
+    # evolutionary diversity loop: recombine / mutate, polish with the
+    # jitted local search, manage the population (reference
+    # diversity/diverse_solver.hpp:151 main loop)
+    while not timer.expired() and prob.n_serve > 1:
+        pa, pb = pop.parents(rng)
+        op = rng.random()
+        child = None
+        if op < 0.35 and pa is not pb:
+            child = srex(prob, pa, pb, rng)
+        elif op < 0.45:
+            ox = ox_single_route(prob, pa, pb, rng)
+            if ox is not None:
+                child = ox
+        if child is None:
+            child = ruin_recreate(prob, pa, rng)
+        routes, un2 = child
+        routes = _local_search(prob, lsp, routes, timer)
+        if prob.prizes is not None:
+            routes, un2 = prize_filter(prob, routes, un2)
+        pop.add(prob, routes, un2)
+
+    best = pop.best
+    best_routes = best["routes"]
+    best_unassigned = best["unassigned"]
 
     if data_model.min_vehicles:
         best_routes = _enforce_min_vehicles(

@@ -1,0 +1,123 @@
+"""Tests for GES route minimization, diversity/recombiners, prize logic.
+
+Modeled on the reference routing test tiers (cpp/tests/routing/level0 GES
+component tests + unit_tests per constraint; SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from cuopt_tpu import routing
+from cuopt_tpu.routing.internal import build_problem
+from cuopt_tpu.routing.diversity import (
+    RoutingPopulation,
+    solution_distance,
+    srex,
+    prize_filter,
+)
+from cuopt_tpu.routing.ges import feasible_insertions, minimize_routes
+from cuopt_tpu.utils.timer import Timer
+
+
+def _grid_model(n_loc=10, n_fleet=4, capacity=100, fixed_cost=0.0,
+                seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 100, size=(n_loc, 2))
+    pts[0] = (50, 50)
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=2)
+    dm = routing.DataModel(n_loc, n_fleet)
+    dm.add_cost_matrix(d)
+    demand = np.ones(n_loc, np.int32)
+    demand[0] = 0
+    dm.add_capacity_dimension(
+        "w", demand, np.full(n_fleet, capacity, np.int32)
+    )
+    if fixed_cost:
+        dm.set_vehicle_fixed_costs(np.full(n_fleet, fixed_cost))
+    return dm
+
+
+def test_ges_eliminates_routes_with_fixed_costs():
+    dm = _grid_model(n_loc=12, n_fleet=6, capacity=100, fixed_cost=500.0)
+    prob = build_problem(dm)
+    # scatter orders across many vehicles
+    orders = list(range(prob.n_serve))
+    routes = {v: [] for v in range(prob.n_fleet)}
+    for i, o in enumerate(orders):
+        routes[i % prob.n_fleet].append(o)
+    rng = np.random.default_rng(0)
+    out = minimize_routes(prob, routes, Timer(30.0), rng, budget_s=20.0)
+    served = sorted(o for r in out.values() for o in r)
+    assert served == orders  # nothing lost
+    used_before = sum(1 for r in routes.values() if r)
+    used_after = sum(1 for r in out.values() if r)
+    assert used_after <= used_before
+    # capacity 100 >> 11 orders: a single route should be reachable
+    assert used_after <= 2
+
+
+def test_feasible_insertions_respects_capacity():
+    dm = _grid_model(n_loc=6, n_fleet=2, capacity=2)
+    prob = build_problem(dm)
+    routes = {0: [0, 1], 1: []}
+    cands = feasible_insertions(prob, routes, 2)
+    assert cands
+    assert all(v == 1 for _, v, _ in cands)  # vehicle 0 is full
+
+
+def test_population_orders_and_dedups():
+    dm = _grid_model(n_loc=8, n_fleet=3)
+    prob = build_problem(dm)
+    pop = RoutingPopulation(max_size=4)
+    r1 = {0: list(range(prob.n_serve)), 1: [], 2: []}
+    r2 = {0: list(reversed(range(prob.n_serve))), 1: [], 2: []}
+    assert pop.add(prob, r1, [])
+    assert not pop.add(prob, r1, [])  # duplicate rejected
+    pop.add(prob, r2, [])
+    assert pop.best["cost"] == min(m["cost"] for m in pop.members)
+    assert 0.0 <= solution_distance(r1, r2) <= 1.0
+
+
+def test_srex_preserves_all_orders():
+    dm = _grid_model(n_loc=10, n_fleet=4)
+    prob = build_problem(dm)
+    rng = np.random.default_rng(1)
+    n = prob.n_serve
+    ra = {0: list(range(n // 2)), 1: list(range(n // 2, n)), 2: [], 3: []}
+    rb = {0: [], 1: [], 2: list(range(0, n, 2)),
+          3: list(range(1, n, 2))}
+    pa = dict(routes=ra, unassigned=[])
+    pb = dict(routes=rb, unassigned=[])
+    child, unassigned = srex(prob, pa, pb, rng)
+    served = sorted(o for r in child.values() for o in r)
+    assert sorted(served + list(unassigned)) == list(range(n))
+    assert len(set(served)) == len(served)  # no duplicates
+
+
+def test_prize_filter_drops_unprofitable():
+    # order 1 is very far; its prize is tiny -> dropping it pays
+    n = 4
+    d = np.array([
+        [0, 1, 100, 1],
+        [1, 0, 100, 1],
+        [100, 100, 0, 100],
+        [1, 1, 100, 0],
+    ], float)
+    dm = routing.DataModel(n, 1)
+    dm.add_cost_matrix(d)
+    dm.set_order_prizes(np.array([0.0, 5.0, 1.0, 5.0]))
+    prob = build_problem(dm)
+    routes = {0: list(range(prob.n_serve))}
+    out, unassigned = prize_filter(prob, routes, [])
+    far = [i for i in range(prob.n_serve)
+           if prob.order_loc[i] == 2]
+    assert far and far[0] in unassigned
+
+
+def test_solve_with_fixed_costs_uses_few_vehicles():
+    dm = _grid_model(n_loc=10, n_fleet=5, capacity=100, fixed_cost=200.0)
+    settings = routing.SolverSettings()
+    settings.time_limit = 8.0
+    sol = routing.Solve(dm, settings)
+    assert sol.get_status() == 0
+    assert sol.get_vehicle_count() <= 2
