@@ -392,6 +392,81 @@ def _infeasibility_flags(dev: DeviceProblem, s: SolverState,
     return primal_inf, dual_inf
 
 
+# ====================================================== trust-region gap
+def _localized_gap(dev: DeviceProblem, x, y, ax, aty, omega, xr, yr):
+    """Normalized localized duality gap Δ_r(z) at radius
+    r = ||z - z_ref||_ω (reference restart_strategy/
+    localized_duality_gap_container.cu; PDLP paper trust-region restart).
+
+    Maximizes the linearized gap g^T d over {d : bounds, ||d||_ω <= r}
+    with a bisection on the trust-region multiplier (the reference solves
+    the same threshold problem on device). Returns Δ_r = g^T d / r.
+    All in the scaled space, weights ||z||_ω² = ω||dx||² + ||dy||²/ω.
+    """
+    big = jnp.asarray(1e30, x.dtype)
+    eps = 1e-12
+    r2 = omega * jnp.sum((x - xr) ** 2) + jnp.sum((y - yr) ** 2) / omega
+    r = jnp.sqrt(r2)
+
+    # primal: maximize (-(c - A^T y))^T dx, dx in [lv - x, uv - x]
+    g_x = aty - dev.c
+    lo_x = jnp.where(dev.lv_fin, dev.lv0 - x, -big)
+    hi_x = jnp.where(dev.uv_fin, dev.uv0 - x, big)
+
+    # dual: supergradient of the bound term q(y) - Ax with q by sign(y);
+    # at y == 0 pick the feasible direction with positive gradient
+    g_up = jnp.where(dev.lc_fin, dev.lc0 - ax, -big)  # d_y > 0 uses l_c
+    g_dn = jnp.where(dev.uc_fin, dev.uc0 - ax, big)   # d_y < 0 uses u_c
+    pos = y > eps
+    neg = y < -eps
+    zero = ~(pos | neg)
+    g_y = jnp.where(pos, g_up, jnp.where(neg, g_dn, 0.0))
+    lo_y = jnp.where(pos | neg, -big, 0.0)
+    hi_y = jnp.where(pos | neg, big, 0.0)
+    # at zero: up branch when it gains, else down branch when it gains
+    up_gain = zero & dev.lc_fin & (g_up > 0.0)
+    dn_gain = zero & ~up_gain & dev.uc_fin & (g_dn < 0.0)
+    g_y = jnp.where(up_gain, g_up, jnp.where(dn_gain, g_dn, g_y))
+    hi_y = jnp.where(up_gain, big, hi_y)
+    lo_y = jnp.where(dn_gain, -big, lo_y)
+
+    def d_of_mu(mu):
+        dx = jnp.clip(g_x / (2.0 * mu * omega), lo_x, hi_x)
+        dy = jnp.clip(g_y * omega / (2.0 * mu), lo_y, hi_y)
+        return dx, dy
+
+    def norm_w(dx, dy):
+        return omega * jnp.sum(dx * dx) + jnp.sum(dy * dy) / omega
+
+    # bracket: grow mu until the ball constraint holds
+    def grow(carry):
+        mu_hi, _ = carry
+        dx, dy = d_of_mu(mu_hi)
+        return mu_hi * 16.0, norm_w(dx, dy)
+
+    mu_lo = jnp.asarray(1e-16, x.dtype)
+    dx0, dy0 = d_of_mu(mu_lo)
+    n0 = norm_w(dx0, dy0)
+    mu_hi, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[1] > r2, c[0] < 1e24),
+        grow, (jnp.asarray(1.0, x.dtype), n0),
+    )
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = jnp.sqrt(lo * hi)  # geometric: mu spans many decades
+        dx, dy = d_of_mu(mid)
+        inside = norm_w(dx, dy) <= r2
+        return jnp.where(inside, lo, mid), jnp.where(inside, mid, hi)
+
+    # if even mu_lo keeps us inside the ball, the box binds: use d(mu_lo)
+    box_binds = n0 <= r2
+    lo, hi = jax.lax.fori_loop(0, 40, bisect, (mu_lo, mu_hi))
+    dx, dy = d_of_mu(jnp.where(box_binds, mu_lo, hi))
+    gain = jnp.dot(g_x, dx) + jnp.dot(g_y, dy)
+    return jnp.where(r > 0.0, gain / jnp.maximum(r, eps), jnp.inf)
+
+
 # ================================================================== restart
 def _maybe_restart(dev: DeviceProblem, s: SolverState, cfg: StaticCfg,
                    kkt_cur, kkt_avg):
@@ -537,8 +612,24 @@ def _cached_major_fn(cfg: StaticCfg):
 
         if cfg.hp.restart_strategy == RESTART_NONE:
             did_restart = jnp.asarray(False)
+        elif cfg.hp.restart_strategy == RESTART_TRUST_REGION:
+            # normalized localized duality gap replaces the KKT score as
+            # the restart potential (reference run_trust_region_restart,
+            # pdlp_restart_strategy.cu)
+            tr_cur = _localized_gap(
+                dev, s.x, s.y, s.ax, s.aty, s.primal_weight,
+                s.x_last_restart, s.y_last_restart,
+            )
+            tr_avg = jnp.where(
+                has_avg,
+                _localized_gap(
+                    dev, avg_x, avg_y, avg_ax, avg_aty, s.primal_weight,
+                    s.x_last_restart, s.y_last_restart,
+                ),
+                jnp.inf,
+            )
+            s, did_restart = _maybe_restart(dev, s, cfg, tr_cur, tr_avg)
         else:
-            # trust-region restart falls back to KKT restart for now
             s, did_restart = _maybe_restart(dev, s, cfg, kkt_cur, kkt_avg)
 
         report = dict(

@@ -148,3 +148,91 @@ def trivial_round_fixed(lv, uv, is_integer, int_tol=1e-5):
     """Variables with lv == uv are fixed (reference trivial_presolve.cuh
     fixes and compacts; we keep shapes and just report the mask)."""
     return np.isclose(lv, uv, atol=int_tol)
+
+
+@dataclass
+class ProbeResult:
+    lv: np.ndarray
+    uv: np.ndarray
+    infeasible: bool
+    n_probed: int
+    n_fixed: int
+    tightened: int
+
+
+def probe_variables(
+    offsets: np.ndarray,
+    indices: np.ndarray,
+    values: np.ndarray,
+    lc: np.ndarray,
+    uc: np.ndarray,
+    lv: np.ndarray,
+    uv: np.ndarray,
+    is_integer: np.ndarray,
+    max_probes: int = 64,
+    rounds_per_probe: int = 3,
+    feas_tol: float = 1e-6,
+    int_tol: float = 1e-5,
+) -> ProbeResult:
+    """Probing on binary/small-domain integer variables (reference
+    cpp/src/mip/presolve/multi_probe.cuh `multi_probe_t` :33 +
+    probing_cache.cuh): tentatively fix a variable at each of its two
+    bound values, propagate, and
+
+      - both branches infeasible -> the problem is infeasible,
+      - one branch infeasible    -> fix the variable to the other value,
+      - both feasible            -> tighten every variable's bounds to the
+                                    union (hull) of the two branch domains.
+
+    Probe candidates are binaries (and 2-value integers) ordered by how
+    many constraints they touch — the reference orders by expected impact.
+    """
+    lv = lv.copy()
+    uv = uv.copy()
+    span = uv - lv
+    binary = is_integer & np.isfinite(lv) & np.isfinite(uv) & \
+        (span > int_tol) & (span < 1.0 + int_tol)
+    cand = np.flatnonzero(binary)
+    if len(cand) == 0:
+        return ProbeResult(lv, uv, False, 0, 0, 0)
+    # impact order: number of nonzeros in the variable's column
+    col_counts = np.zeros(len(lv), np.int64)
+    np.add.at(col_counts, indices, 1)
+    cand = cand[np.argsort(-col_counts[cand])][:max_probes]
+
+    n_fixed = 0
+    tightened = 0
+    for j in cand:
+        if uv[j] - lv[j] <= int_tol:
+            continue  # already fixed by an earlier probe
+        branches = []
+        infeas = []
+        for val in (lv[j], uv[j]):
+            lv_b = lv.copy()
+            uv_b = uv.copy()
+            lv_b[j] = uv_b[j] = val
+            r = propagate_bounds(
+                offsets, indices, values, lc, uc, lv_b, uv_b,
+                is_integer, max_rounds=rounds_per_probe,
+                feas_tol=feas_tol, int_tol=int_tol,
+            )
+            branches.append(r)
+            infeas.append(r.infeasible)
+        if infeas[0] and infeas[1]:
+            return ProbeResult(lv, uv, True, int(np.sum(cand <= j)),
+                               n_fixed, tightened)
+        if infeas[0] or infeas[1]:
+            keep = branches[1] if infeas[0] else branches[0]
+            lv, uv = keep.lv.copy(), keep.uv.copy()
+            n_fixed += 1
+            continue
+        # hull of the two feasible branch domains
+        hull_lv = np.minimum(branches[0].lv, branches[1].lv)
+        hull_uv = np.maximum(branches[0].uv, branches[1].uv)
+        t = int(np.sum(hull_lv > lv + 1e-12) +
+                np.sum(hull_uv < uv - 1e-12))
+        if t:
+            tightened += t
+            lv = np.maximum(lv, hull_lv)
+            uv = np.minimum(uv, hull_uv)
+    return ProbeResult(lv, uv, False, len(cand), n_fixed, tightened)

@@ -135,6 +135,36 @@ def _run_mip(prob, settings, timer, log):
     pint.variable_lower_bounds = pres.lv
     pint.variable_upper_bounds = pres.uv
 
+    # ---- presolve: probing on binaries (reference multi_probe.cuh) ----
+    if not timer.expired():
+        from cuopt_tpu.mip.presolve import probe_variables
+
+        n_bin = int(np.sum(is_int & np.isfinite(pres.lv)
+                           & np.isfinite(pres.uv)
+                           & (pres.uv - pres.lv <= 1.0 + 1e-9)))
+        if 0 < n_bin:
+            pr = probe_variables(
+                pint.offsets, pint.indices, pint.values,
+                pint.constraint_lower_bounds,
+                pint.constraint_upper_bounds,
+                pres.lv, pres.uv, is_int,
+                max_probes=min(64, max(4, int(2e6) // max(1, pint.nnz))),
+                int_tol=settings.tolerances.integrality_tolerance,
+            )
+            if pr.infeasible:
+                return _make_raw(
+                    prob, sign, None, math.nan, -math.inf,
+                    C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
+                )
+            if pr.n_fixed or pr.tightened:
+                log.debug(
+                    f"probing: {pr.n_probed} probed, {pr.n_fixed} fixed, "
+                    f"{pr.tightened} bounds tightened"
+                )
+            pint.variable_lower_bounds = pr.lv
+            pint.variable_upper_bounds = pr.uv
+            pres.lv, pres.uv = pr.lv, pr.uv
+
     # all variables fixed by presolve?
     if np.all(pres.lv >= pres.uv - 1e-9):
         x = (pres.lv + pres.uv) / 2

@@ -347,3 +347,22 @@ class TestPrimalModes:
             np.abs(np.where(np.isfinite(hi), hi, 0.0)),
         )
         assert np.all(vio <= lim + 1e-12)
+
+
+def test_methodical1_trust_region_restart_solves_afiro():
+    """METHODICAL1 preset exercises the trust-region (localized duality
+    gap) restart path (reference restart_strategy TRUST_REGION_RESTART)."""
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.io import parse_mps
+    from cuopt_tpu.lp.settings import PDLPSolverSettings
+    from cuopt_tpu.lp.pdlp import PdlpSolver
+
+    prob = parse_mps(
+        "/root/reference/datasets/linear_programming/afiro_original.mps"
+    )
+    settings = PDLPSolverSettings()
+    settings.pdlp_solver_mode = C.CUOPT_PDLP_SOLVER_MODE_METHODICAL1
+    settings.iteration_limit = 50_000
+    sol = PdlpSolver(prob, settings).run()
+    assert sol["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    assert abs(sol["primal_objective"] - (-464.7531)) < 1e-1

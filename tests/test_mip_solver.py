@@ -244,3 +244,37 @@ def test_initial_solution_used(mip_datasets):
     sol = Solve(p, s)
     assert abs(sol.get_primal_objective() - (-28.0)) < 1e-3 or \
         abs(sol.get_primal_objective() - 28.0) < 1e-3
+
+
+# ---------------------------------------------------------------- probing
+def test_probing_fixes_implied_binary():
+    """x + y >= 1.5 with x,y binary: probing x=0 forces y>=1.5 -> infeasible
+    branch -> x fixed to 1 (and symmetrically y)."""
+    import numpy as np
+    from cuopt_tpu.mip.presolve import probe_variables
+
+    offsets = np.array([0, 2])
+    indices = np.array([0, 1])
+    values = np.array([1.0, 1.0])
+    lc = np.array([1.5]); uc = np.array([np.inf])
+    lv = np.zeros(2); uv = np.ones(2)
+    is_int = np.array([True, True])
+    r = probe_variables(offsets, indices, values, lc, uc, lv, uv, is_int)
+    assert not r.infeasible
+    assert r.n_fixed >= 1
+    assert np.allclose(r.lv, [1.0, 1.0]) and np.allclose(r.uv, [1.0, 1.0])
+
+
+def test_probing_detects_infeasible():
+    """x + y >= 1.5 and x + y <= 0.5, binaries: both probe branches die."""
+    import numpy as np
+    from cuopt_tpu.mip.presolve import probe_variables
+
+    offsets = np.array([0, 2, 4])
+    indices = np.array([0, 1, 0, 1])
+    values = np.array([1.0, 1.0, 1.0, 1.0])
+    lc = np.array([1.5, -np.inf]); uc = np.array([np.inf, 0.5])
+    lv = np.zeros(2); uv = np.ones(2)
+    is_int = np.array([True, True])
+    r = probe_variables(offsets, indices, values, lc, uc, lv, uv, is_int)
+    assert r.infeasible
