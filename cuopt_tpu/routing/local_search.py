@@ -9,6 +9,11 @@ as dense tensors in one jitted call —
   - swap (CROSS): every inter-route position pair,
   - 2-opt: every intra-route segment reversal (symmetric matrices,
     no time windows),
+  - 2-opt* (tail exchange, the reference's CROSS-exchange over route
+    tails): every (cut position in r1) x (cut position in r2) pair for
+    compatible vehicles,
+  - Or-opt: every length-2 consecutive segment x (insertion slot) pair
+    (the reference's sliding-window segment moves),
 
 with O(1) feasibility per candidate from forward departure times and
 backward latest-arrival slacks (the reference's forward/backward
@@ -334,30 +339,221 @@ def evaluate_moves(p: LsProblem, R, lens):
     else:
         two_score = jnp.full((F, 1, 1), BIG, reloc_score.dtype)
 
+    # ---- 2-opt* (inter-route tail exchange; reference CROSS-exchange,
+    # local_search/vrp tail kernels): cut r1 after i kept orders and r2
+    # after k kept orders, swap tails. Restricted to "compatible"
+    # vehicle pairs (same type matrix, same return location, same
+    # shift-end) so the tail's internal arc costs/times are unchanged.
+    cut = jnp.arange(L + 1)                       # kept-order count
+    u_cut = locs[:, :L + 1]                       # (F, L+1) last kept loc
+    v_succ = locs[:, 1:L + 2]                     # (F, L+1) first tail loc
+    dep_cut = dep[:, :L + 1]                      # departure at cut point
+    lat_succ = lat[:, 1:L + 2]                    # latest arrival at succ
+    # suffix demand per cut: sum of demands of orders at list idx >= i
+    dem_pos = jnp.where(valid[None], p.demand[:, Rc], 0.0)  # (ndim,F,L)
+    suf_dem = jnp.concatenate(
+        [jnp.cumsum(dem_pos[:, :, ::-1], axis=2)[:, :, ::-1],
+         jnp.zeros((dem_pos.shape[0], F, 1), dem_pos.dtype)], axis=2,
+    )  # (ndim, F, L+1)
+    pre_dem = load[:, :, None] - suf_dem          # (ndim, F, L+1)
+    # suffix movable / suffix-allowed-on-vehicle
+    mov_pos = jnp.where(valid, p.movable[Rc], True)  # (F, L)
+    suf_mov = jnp.concatenate(
+        [(jnp.cumsum((~mov_pos[:, ::-1]).astype(jnp.int32), axis=1)
+          [:, ::-1] == 0),
+         jnp.ones((F, 1), bool)], axis=1,
+    )  # (F, L+1): all orders at idx >= i movable
+    alw_pos = jnp.where(valid[:, :, None], p.allowed[Rc], True)  # (F,L,F2)
+    suf_alw = jnp.concatenate(
+        [(jnp.cumsum((~alw_pos[:, ::-1]).astype(jnp.int32), axis=1)
+          [:, ::-1] == 0),
+         jnp.ones((F, 1, F), bool)], axis=1,
+    )  # (F, L+1, F2): all tail orders of F allowed on vehicle F2
+
+    f1 = fvec[:, None, None, None]
+    f2 = fvec[None, None, :, None]
+    i_c = cut[None, :, None, None]
+    k_c = cut[None, None, None, :]
+    ts_delta = (
+        cmat[f1, u_cut[:, :, None, None], v_succ[None, None]]
+        + cmat[f2, u_cut[None, None], v_succ[:, :, None, None]]
+        - cmat[f1, u_cut[:, :, None, None], v_succ[:, :, None, None]]
+        - cmat[f2, u_cut[None, None], v_succ[None, None]]
+    )  # (F1, L+1, F2, L+1): at [f1,i,f2,k] the two new cross arcs
+    # c_{f1}(u1_i, v2_{k+1}) + c_{f2}(u2_k, v1_{i+1}) minus the two old.
+    # fixed-cost change from routes opening/closing
+    n1_new = i_c + (lens[None, None, :, None] - k_c)
+    n2_new = k_c + (lens[:, None, None, None] - i_c)
+    was1 = lens[:, None, None, None] > 0
+    was2 = lens[None, None, :, None] > 0
+    ts_delta = (
+        ts_delta
+        + p.veh_fixed[:, None, None, None]
+        * ((n1_new > 0).astype(ts_delta.dtype) - was1.astype(ts_delta.dtype))
+        + p.veh_fixed[None, None, :, None]
+        * ((n2_new > 0).astype(ts_delta.dtype) - was2.astype(ts_delta.dtype))
+    )
+    compat = (
+        (p.veh_ti[:, None] == p.veh_ti[None, :])
+        & (p.veh_return[:, None] == p.veh_return[None, :])
+        & (p.veh_tw_late[:, None] == p.veh_tw_late[None, :])
+    )  # (F1, F2)
+    cap1_ok = jnp.all(
+        pre_dem[:, :, :, None, None] + suf_dem[:, None, None, :, :]
+        <= p.capacity[:, :, None, None, None] + 1e-6, axis=0,
+    )  # (F1, L+1, F2, L+1)
+    cap2_ok = jnp.transpose(cap1_ok, (2, 3, 0, 1))
+    if p.has_tw:
+        t_cross1 = tmat[f1, u_cut[:, :, None, None], v_succ[None, None]]
+        t_cross2 = tmat[f2, u_cut[None, None], v_succ[:, :, None, None]]
+        tw1_ok = (dep_cut[:, :, None, None] + t_cross1
+                  <= lat_succ[None, None] + 1e-6)
+        tw2_ok = (dep_cut[None, None] + t_cross2
+                  <= lat_succ[:, :, None, None] + 1e-6)
+        ts_tw_ok = tw1_ok & tw2_ok
+    else:
+        ts_tw_ok = jnp.ones_like(ts_delta, bool)
+    cut1_valid = cut[None, :] <= lens[:, None]    # (F, L+1)
+    # allowed: tail of r2 (idx >= k) on vehicle r1, and tail of r1 on r2
+    alw_tail2_on1 = suf_alw[
+        fvec[None, None, :, None], k_c, fvec[:, None, None, None]
+    ]  # (F1, 1->L+1 bcast? shapes: all (F1, L+1, F2, L+1))
+    alw_tail1_on2 = suf_alw[
+        fvec[:, None, None, None], i_c, fvec[None, None, :, None]
+    ]
+    ts_mask = (
+        compat[:, None, :, None]
+        & (f1 != f2)
+        & cut1_valid[:, :, None, None]
+        & cut1_valid[None, None]
+        & suf_mov[:, :, None, None]
+        & suf_mov[None, None]
+        & alw_tail2_on1
+        & alw_tail1_on2
+        & cap1_ok & cap2_ok & ts_tw_ok
+    )
+    ts_score = jnp.where(ts_mask, ts_delta, BIG)
+
+    # ---- Or-opt: move the 2-segment (i, i+1) of r1 into slot (r2, j) ----
+    pos_l = jnp.arange(L)
+    seg_ok = valid & jnp.concatenate(
+        [valid[:, 1:], jnp.zeros((F, 1), bool)], axis=1
+    )  # positions i with a valid successor i+1
+    uA = locs[ar, pos + 1]                        # (F, L) first seg loc
+    uB_idx = jnp.minimum(pos + 2, L + 1)
+    uN_idx = jnp.minimum(pos + 3, L + 1)
+    uB = locs[ar, uB_idx]                          # second seg loc
+    uNext = locs[ar, uN_idx]                       # successor of segment
+    rem_save = (
+        cmat[ar, prev_loc, uA] + cmat[ar, uA, uB] + cmat[ar, uB, uNext]
+        - cmat[ar, prev_loc, uNext]
+    )  # (F1, L)
+    idsA, idsB = Rc, jnp.roll(Rc, -1, axis=1)
+    locA = p.order_loc[idsA]
+    locB = p.order_loc[jnp.where(seg_ok, idsB, idsA)]
+    oA = cm2[fvec[:, None, None, None], q_loc[:, :, None, None],
+             locA[None, None]]
+    oI = cm2[fvec[:, None, None, None], locA[None, None], locB[None, None]]
+    oB = cm2[fvec[:, None, None, None], locB[None, None],
+             qn_loc[:, :, None, None]]
+    oro_delta = oA + oI + oB - cC - rem_save[None, None]
+    seg_dem = p.demand[:, idsA] + jnp.where(
+        seg_ok[None], p.demand[:, jnp.where(seg_ok, idsB, idsA)], 0.0
+    )  # (ndim, F1, L)
+    oro_cap_ok = jnp.all(
+        (load[:, :, None, None, None] + seg_dem[:, None, None, :, :])
+        <= p.capacity[:, :, None, None, None] + 1e-6, axis=0,
+    )[:, 0]  # (F2, F1, L)
+    seg_movable = (
+        seg_ok & p.movable[idsA]
+        & p.movable[jnp.where(seg_ok, idsB, idsA)]
+    )
+    alw_seg = (
+        p.allowed[idsA] & p.allowed[jnp.where(seg_ok, idsB, idsA)]
+    )  # (F1, L, F2)
+    alw_seg_t = jnp.transpose(alw_seg, (2, 0, 1))  # (F2, F1, L)
+    if p.has_tw:
+        tA_ = t2[fvec[:, None, None, None], q_loc[:, :, None, None],
+                 locA[None, None]]
+        tI_ = t2[fvec[:, None, None, None], locA[None, None],
+                 locB[None, None]]
+        tB_ = t2[fvec[:, None, None, None], locB[None, None],
+                 qn_loc[:, :, None, None]]
+        eA = p.e[idsA][None, None]
+        lA = p.l[idsA][None, None]
+        sA = p.s[idsA][None, None]
+        idsB_safe = jnp.where(seg_ok, idsB, idsA)
+        eB = p.e[idsB_safe][None, None]
+        lB = p.l[idsB_safe][None, None]
+        sB = p.s[idsB_safe][None, None]
+        arr_A = jnp.maximum(dep_slot[:, :, None, None] + tA_, eA)
+        ok_A = arr_A <= lA + 1e-6
+        arr_B = jnp.maximum(arr_A + sA + tI_, eB)
+        ok_B = arr_B <= lB + 1e-6
+        ok_N = arr_B + sB + tB_ <= lat_next[:, :, None, None] + 1e-6
+        oro_tw_ok = ok_A & ok_B & ok_N
+    else:
+        oro_tw_ok = jnp.ones_like(oro_delta, bool)
+    oro_mask = (
+        slot_valid[:, :, None, None]
+        & seg_movable[None, None]
+        & oro_cap_ok[:, None]
+        & alw_seg_t[:, None]
+        & oro_tw_ok
+        & ~same_route
+    )
+    close1_seg = jnp.where(lens == 2, p.veh_fixed, 0.0)
+    oro_delta = oro_delta + open2[:, None, None, None] - \
+        close1_seg[None, None, :, None]
+    oro_score = jnp.where(oro_mask, oro_delta, BIG)
+
     # ---- pick global best ----
     r_best = jnp.min(reloc_score)
     s_best = jnp.min(swap_score)
     t_best = jnp.min(two_score)
-    best = jnp.minimum(jnp.minimum(r_best, s_best), t_best)
+    ts_best = jnp.min(ts_score)
+    o_best = jnp.min(oro_score)
+    best = jnp.minimum(
+        jnp.minimum(jnp.minimum(r_best, s_best), t_best),
+        jnp.minimum(ts_best, o_best),
+    )
 
     r_arg = jnp.unravel_index(jnp.argmin(reloc_score), reloc_score.shape)
     s_arg = jnp.unravel_index(jnp.argmin(swap_score), swap_score.shape)
     t_arg = jnp.unravel_index(jnp.argmin(two_score), two_score.shape)
+    ts_arg = jnp.unravel_index(jnp.argmin(ts_score), ts_score.shape)
+    o_arg = jnp.unravel_index(jnp.argmin(oro_score), oro_score.shape)
 
     kind = jnp.where(
-        best == r_best, 0, jnp.where(best == s_best, 1, 2)
+        best == r_best, 0,
+        jnp.where(
+            best == s_best, 1,
+            jnp.where(best == t_best, 2,
+                      jnp.where(best == ts_best, 3, 4)),
+        ),
     )
     # unified move encoding:
     #  relocate: (r2, slot j, r1, i)
     #  swap:     (r1, i, r2, k)
     #  2opt:     (r, i, r, k)
+    #  2opt*:    (r1, cut i, r2, cut k)
+    #  or-opt2:  (r2, slot j, r1, i)
     mv = jnp.where(
         kind == 0,
         jnp.stack([r_arg[0], r_arg[1], r_arg[2], r_arg[3]]),
         jnp.where(
             kind == 1,
             jnp.stack([s_arg[0], s_arg[1], s_arg[2], s_arg[3]]),
-            jnp.stack([t_arg[0], t_arg[1], t_arg[0], t_arg[2]]),
+            jnp.where(
+                kind == 2,
+                jnp.stack([t_arg[0], t_arg[1], t_arg[0], t_arg[2]]),
+                jnp.where(
+                    kind == 3,
+                    jnp.stack([ts_arg[0], ts_arg[1], ts_arg[2],
+                               ts_arg[3]]),
+                    jnp.stack([o_arg[0], o_arg[1], o_arg[2], o_arg[3]]),
+                ),
+            ),
         ),
     )
     return best, kind, mv

@@ -51,9 +51,19 @@ def _apply_move(routes, kind, mv):
     elif kind == 1:  # swap: (r1, i, r2, k)
         r1, i, r2, k = a, b, c, d
         routes[r1][i], routes[r2][k] = routes[r2][k], routes[r1][i]
-    else:  # 2-opt: (r, i, r, k) reverse positions i..k
+    elif kind == 2:  # 2-opt: (r, i, r, k) reverse positions i..k
         r, i, _, k = a, b, c, d
         routes[r][i:k + 1] = reversed(routes[r][i:k + 1])
+    elif kind == 3:  # 2-opt*: (r1, cut i, r2, cut k) exchange tails
+        r1, i, r2, k = a, b, c, d
+        tail1, tail2 = routes[r1][i:], routes[r2][k:]
+        routes[r1] = routes[r1][:i] + tail2
+        routes[r2] = routes[r2][:k] + tail1
+    else:  # or-opt2: (r2, slot j, r1, i) move segment (i, i+1)
+        r2, j, r1, i = a, b, c, d
+        seg = routes[r1][i:i + 2]
+        del routes[r1][i:i + 2]
+        routes[r2][j:j] = seg
     return routes
 
 

@@ -1,0 +1,134 @@
+"""Move-evaluator consistency tests.
+
+Randomized verification of the jitted move scorer
+(cuopt_tpu/routing/local_search.evaluate_moves) against the exact host
+model — the analogue of the reference's lexicographic brute-force
+verifier used for GES/local-search kernels
+(cpp/src/routing/ges/lexicographic_search/, cpp/tests/routing/level0).
+
+For random CVRP(TW) instances and random feasible incumbents, the best
+device-scored move must (a) predict exactly the objective delta obtained
+by applying it on the host, and (b) preserve feasibility of the touched
+routes under the exact host model.
+"""
+
+import numpy as np
+import pytest
+
+from cuopt_tpu.routing import DataModel
+from cuopt_tpu.routing.internal import build_problem
+from cuopt_tpu.routing.local_search import build_ls_problem, evaluate_moves
+from cuopt_tpu.routing.solver import _apply_move, _routes_to_arrays
+
+
+def random_instance(rng, n_loc=9, fleet=3, tw=False):
+    pts = rng.uniform(0, 100, (n_loc, 2))
+    cost = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+    dm = DataModel(n_loc, fleet, n_loc - 1)
+    dm.add_cost_matrix(cost)
+    dm.set_order_locations(np.arange(1, n_loc))
+    demand = rng.integers(1, 4, n_loc - 1)
+    dm.add_capacity_dimension("w", demand, np.full(fleet, 12))
+    if tw:
+        dm.add_transit_time_matrix(cost)
+        early = rng.uniform(0, 50, n_loc - 1)
+        late = early + rng.uniform(150, 400, n_loc - 1)
+        dm.set_order_time_windows(early, late)
+        dm.set_order_service_times(np.full(n_loc - 1, 2.0))
+    return dm
+
+
+def random_routes(rng, prob):
+    orders = list(rng.permutation(prob.n_serve))
+    cuts = sorted(rng.choice(len(orders) + 1, prob.n_fleet - 1))
+    routes, lo = {}, 0
+    bounds = list(cuts) + [len(orders)]
+    for v in range(prob.n_fleet):
+        routes[v] = [int(o) for o in orders[lo:bounds[v]]]
+        lo = bounds[v]
+    return routes
+
+
+@pytest.mark.parametrize("tw", [False, True])
+def test_best_move_delta_matches_host(tw):
+    rng = np.random.default_rng(42 if tw else 7)
+    n_checked = 0
+    for trial in range(6):
+        dm = random_instance(rng, tw=tw)
+        prob = build_problem(dm)
+        lsp = build_ls_problem(prob)
+        routes = random_routes(rng, prob)
+        if not all(
+            prob.route_feasible(v, r) for v, r in routes.items()
+        ):
+            continue
+        L_pad = max(8, max(len(r) for r in routes.values()) + 4)
+        R, lens = _routes_to_arrays(prob, routes, L_pad)
+        delta, kind, mv = evaluate_moves(lsp, R, lens)
+        if float(delta) >= -1e-7:
+            continue
+        before = prob.solution_cost(routes)
+        new_routes = _apply_move(
+            {v: list(r) for v, r in routes.items()}, kind, mv
+        )
+        after = prob.solution_cost(new_routes)
+        assert after - before == pytest.approx(float(delta), abs=1e-3)
+        for v in (int(mv[0]), int(mv[2])):
+            assert prob.route_feasible(v, new_routes[v]), (
+                f"kind={int(kind)} mv={np.asarray(mv)} trial={trial}"
+            )
+        n_checked += 1
+    assert n_checked >= 3
+
+
+def test_two_opt_star_descends_to_uncrossed_tails():
+    # Two vehicles on a line; incumbent routes cross mid-way. Tail
+    # exchange (or an equivalent-cost move sequence) must untangle them.
+    #   depot at 0; locations 1..4 at x = 1, 2, 101, 102.
+    x = np.array([0.0, 1.0, 2.0, 101.0, 102.0])
+    cost = np.abs(x[:, None] - x[None])
+    dm = DataModel(5, 2, 4)
+    dm.add_cost_matrix(cost)
+    dm.set_order_locations([1, 2, 3, 4])
+    prob = build_problem(dm)
+    lsp = build_ls_problem(prob)
+    # crossed: v0 serves near then far, v1 serves near then far.
+    routes = {0: [0, 2], 1: [1, 3]}  # orders 0,1 near; 2,3 far
+    for _ in range(12):
+        R, lens = _routes_to_arrays(prob, routes, 8)
+        delta, kind, mv = evaluate_moves(lsp, R, lens)
+        if float(delta) >= -1e-7:
+            break
+        routes = _apply_move(routes, kind, mv)
+    # optimum: a single sweep 0->1->2->101->102->0 = 204 (the crossed
+    # incumbent costs 2*102 + 2*101 + ... > 204).
+    assert prob.solution_cost(routes) == pytest.approx(204.0, abs=1e-6)
+
+
+def test_or_opt_moves_adjacent_pair_together():
+    # Segment (a, b) sits in the wrong route; moving the orders one at a
+    # time is cost-increasing but moving the pair is improving when the
+    # intermediate states are blocked by capacity.
+    x = np.array([0.0, 50.0, 51.0, 1.0, 2.0])
+    cost = np.abs(x[:, None] - x[None])
+    dm = DataModel(5, 2, 4)
+    dm.add_cost_matrix(cost)
+    dm.set_order_locations([1, 2, 3, 4])
+    # orders 0,1 (locs 50,51) and 2,3 (locs 1,2)
+    dm.add_capacity_dimension(
+        "w", np.array([1, 1, 1, 1]), np.array([2, 2])
+    )
+    prob = build_problem(dm)
+    lsp = build_ls_problem(prob)
+    routes = {0: [0, 1], 1: [2, 3]}
+    # both routes at capacity: single relocate is capacity-infeasible,
+    # swaps/2-opt* only shuffle; verify evaluator terminates cleanly at
+    # a local optimum without proposing an infeasible move.
+    R, lens = _routes_to_arrays(prob, routes, 8)
+    delta, kind, mv = evaluate_moves(lsp, R, lens)
+    if float(delta) < -1e-7:
+        new_routes = _apply_move(
+            {v: list(r) for v, r in routes.items()}, kind, mv
+        )
+        for v in (int(mv[0]), int(mv[2])):
+            assert prob.route_feasible(v, new_routes[v])
