@@ -41,6 +41,9 @@ class _Node:
     x_warm: np.ndarray | None = field(compare=False, default=None)
     y_warm: np.ndarray | None = field(compare=False, default=None)
     depth: int = field(compare=False, default=0)
+    # LP effort multiplier: grows when a node's relaxation hits its
+    # iteration limit and the node is re-queued (never silently dropped)
+    effort: int = field(compare=False, default=1)
     # pseudo-cost bookkeeping: which branch created this node
     branch_var: int = field(compare=False, default=-1)
     branch_up: bool = field(compare=False, default=False)
@@ -86,6 +89,51 @@ class BranchAndBound:
         self._pc_dn = np.zeros(n_vars)
         self._pc_up_n = np.zeros(n_vars, np.int64)
         self._pc_dn_n = np.zeros(n_vars, np.int64)
+        # nodes whose relaxation stayed unresolved past the effort cap:
+        # the subtree is open, so OPTIMAL may not be claimed
+        self._lost_nodes = 0
+        # CSR row index of each nnz, for host A^T y in the safe bound
+        self._nnz_rows = np.repeat(
+            np.arange(prob.n_constraints), np.diff(prob.offsets)
+        )
+
+    def _safe_dual_bound(self, y, lv, uv):
+        """Rigorous lower bound from ANY dual vector y (Lagrangian bound).
+
+        A PDLP dual iterate is only approximately feasible, so its reported
+        dual objective cannot be used to prune (reference node bounds come
+        from exact dual simplex, dual_simplex/branch_and_bound.hpp:45).
+        Instead:  bound = sum_i y_i * (L_i if y_i>0 else U_i)
+                        + sum_j r_j * (l_j if r_j>0 else u_j),
+        with r = c - A^T y, which is a valid lower bound on the node LP for
+        every y (weak duality on the Lagrangian). Duals that would multiply
+        an infinite constraint bound are clamped to 0 first so the row term
+        stays finite; an infinite variable bound hit by a nonzero reduced
+        cost yields -inf (valid, just uninformative).
+        """
+        p = self.prob
+        if y is None:
+            return -math.inf
+        y = np.asarray(y, float).copy()
+        L = p.constraint_lower_bounds
+        U = p.constraint_upper_bounds
+        y[(y > 0) & ~np.isfinite(L)] = 0.0
+        y[(y < 0) & ~np.isfinite(U)] = 0.0
+        y[~np.isfinite(y)] = 0.0
+        r = np.asarray(p.objective_coefficients, float).copy()
+        np.subtract.at(r, p.indices, p.values * y[self._nnz_rows])
+        row_term = np.zeros_like(y)
+        pos, neg = y > 0, y < 0
+        row_term[pos] = L[pos] * y[pos]
+        row_term[neg] = U[neg] * y[neg]
+        var_term = np.zeros_like(r)
+        with np.errstate(invalid="ignore"):
+            pos, neg = r > 1e-14, r < -1e-14
+            var_term[pos] = lv[pos] * r[pos]
+            var_term[neg] = uv[neg] * r[neg]
+        total = float(np.sum(row_term) + np.sum(var_term)
+                      + p.objective_offset)
+        return total if not math.isnan(total) else -math.inf
 
     def _update_pseudo_cost(self, node, child_bound):
         j = node.branch_var
@@ -130,7 +178,7 @@ class BranchAndBound:
 
     # internal orientation: minimize (maximize already negated by caller)
     def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
-                          timer=None):
+                          timer=None, effort=1):
         sub = self.prob
         node_prob = type(sub)(
             offsets=sub.offsets, indices=sub.indices, values=sub.values,
@@ -148,7 +196,7 @@ class BranchAndBound:
         s.method = C.CUOPT_METHOD_PDLP
         s.set_optimality_tolerance(self.node_lp_tol)
         s.detect_infeasibility = True
-        s.iteration_limit = 50_000
+        s.iteration_limit = 50_000 * int(effort)
         if timer is not None:
             s.time_limit = max(timer.remaining(), 0.5)
         if self.use_simplex:
@@ -204,6 +252,7 @@ class BranchAndBound:
         if pres.infeasible:
             return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
         heap = [_Node(-math.inf, seq, pres.lv, pres.uv)]
+        complete = False
         while heap:
             if timer.expired() or (halt is not None and halt.is_set()):
                 break
@@ -216,20 +265,52 @@ class BranchAndBound:
             if self.incumbent is not None and node.bound >= (
                 self.incumbent_obj - 1e-12
             ):
+                # every open node's (rigorous) bound >= incumbent: done
                 self.best_bound = self.incumbent_obj
+                complete = True
                 break
             raw = self._solve_relaxation(
-                node.lv, node.uv, node.x_warm, node.y_warm, timer
+                node.lv, node.uv, node.x_warm, node.y_warm, timer,
+                effort=node.effort,
             )
             self.nodes_explored += 1
             if raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
                 continue
+            # Rigorous node bound from the dual iterate, valid even for
+            # unresolved (limit-hit) solves; never trust raw dual_objective
+            # from an approximately-feasible PDLP dual.
+            bound = max(node.bound, self._safe_dual_bound(
+                raw.get("dual_solution"), node.lv, node.uv
+            ))
             if raw["status"] not in (
                 C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
             ):
-                # unresolved node (limit hit): keep conservative bound
+                # unresolved node (iteration/time limit): re-queue with the
+                # improved rigorous bound and more LP effort — dropping it
+                # would silently lose the subtree (reference keeps nodes
+                # open, branch_and_bound.hpp:45).
+                if self.incumbent is not None and bound >= (
+                    self.incumbent_obj - 1e-12
+                ):
+                    continue  # rigorous prune
+                if timer.expired() or (
+                    halt is not None and halt.is_set()
+                ):
+                    seq += 1
+                    heapq.heappush(heap, _Node(
+                        bound, seq, node.lv, node.uv, node.x_warm,
+                        node.y_warm, node.depth, effort=node.effort,
+                    ))
+                    break
+                if node.effort >= 64:
+                    self._lost_nodes += 1
+                    continue
+                seq += 1
+                heapq.heappush(heap, _Node(
+                    bound, seq, node.lv, node.uv, node.x_warm,
+                    node.y_warm, node.depth, effort=node.effort * 4,
+                ))
                 continue
-            bound = raw["dual_objective"]
             self._update_pseudo_cost(node, bound)
             if self.incumbent is not None and bound >= (
                 self.incumbent_obj - 1e-12
@@ -275,14 +356,16 @@ class BranchAndBound:
                 ))
             if self._gap_closed():
                 break
-        else:
-            # heap exhausted: search complete
+        if not heap and self._lost_nodes == 0:
+            # heap exhausted with no lost subtrees: search complete
+            complete = True
             if self.incumbent is not None:
                 self.best_bound = self.incumbent_obj
-        if self._gap_closed() or (not heap and self.incumbent is not None):
-            return self._result(C.CUOPT_TERIMINATION_STATUS_OPTIMAL)
-        if not heap and self.incumbent is None:
+        complete = complete and self._lost_nodes == 0
+        if complete and self.incumbent is None:
             return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
+        if self._gap_closed() or (complete and self.incumbent is not None):
+            return self._result(C.CUOPT_TERIMINATION_STATUS_OPTIMAL)
         if self.incumbent is not None:
             return self._result(C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND)
         return self._result(C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT)

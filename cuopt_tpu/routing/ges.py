@@ -9,7 +9,7 @@ driver, with vectorized feasibility checks through the exact route model
 (internal.py route_feasible covers time windows, capacities, breaks,
 max cost/time, vehicle-order match, pickup-delivery precedence).
 
-Algorithm (reference config: k_max <= 6, here k_max = 2 with pair
+Algorithm (reference config: k_max <= 6, here k_max = 4 with pair
 ejections):
   1. pick the route with the fewest orders, move its orders into the
      ejection pool (EP)
@@ -73,7 +73,7 @@ def feasible_insertions(prob, routes, o, exclude=(), max_cands=64):
 
 
 def _ejection_insertions(prob, routes, o, penalties, exclude=(),
-                         k_max=2):
+                         k_max=4):
     """Insertions of o that require ejecting 1..k_max consecutive orders,
     scored by ejected penalty sum (lexicographic ejection search,
     reference ges/lexicographic_search/). Returns the best

@@ -51,6 +51,8 @@ class LsProblem:
     time_mats: jax.Array
     movable: jax.Array  # (n_serve,) bool: not PD-paired
     allowed: jax.Array  # (n_serve, F) bool
+    skip_first: jax.Array  # (F,) bool
+    drop_return: jax.Array  # (F,) bool
     has_tw: bool = struct.field(pytree_node=False)
     allow_2opt: bool = struct.field(pytree_node=False)
 
@@ -88,6 +90,8 @@ def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
         time_mats=jnp.asarray(prob.time_mats, dtype),
         movable=jnp.asarray(movable),
         allowed=jnp.asarray(allowed),
+        skip_first=jnp.asarray(prob.skip_first, bool),
+        drop_return=jnp.asarray(prob.drop_return, bool),
         has_tw=has_tw,
         allow_2opt=bool(sym) and not has_tw,
     )
@@ -163,9 +167,9 @@ def _route_tensors(p: LsProblem, R, lens):
     return locs, arr, dep, lat, load, cmat, tmat, valid
 
 
-@partial(jax.jit, static_argnames=())
-def evaluate_moves(p: LsProblem, R, lens):
-    """Score all moves; return (delta, kind, a_r, a_i, b_r, b_j)."""
+def _move_scores(p: LsProblem, R, lens):
+    """Score all candidate moves; returns the five dense score tensors
+    (relocate, swap, 2-opt, 2-opt*, or-opt2), masked-invalid = BIG."""
     F, L = R.shape
     locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
         p, R, lens
@@ -242,6 +246,8 @@ def evaluate_moves(p: LsProblem, R, lens):
         & allowed_ok[:, None, :, :]
         & tw_ok
         & ~same_route
+        # receiving route must still fit in the padded width L
+        & (lens[:, None, None, None] + 1 <= L)
     )
     # fixed-cost effects: opening r2, closing r1
     open2 = jnp.where(lens == 0, p.veh_fixed, 0.0)
@@ -374,16 +380,32 @@ def evaluate_moves(p: LsProblem, R, lens):
     f2 = fvec[None, None, :, None]
     i_c = cut[None, :, None, None]
     k_c = cut[None, None, None, :]
-    ts_delta = (
-        cmat[f1, u_cut[:, :, None, None], v_succ[None, None]]
-        + cmat[f2, u_cut[None, None], v_succ[:, :, None, None]]
-        - cmat[f1, u_cut[:, :, None, None], v_succ[:, :, None, None]]
-        - cmat[f2, u_cut[None, None], v_succ[None, None]]
-    )  # (F1, L+1, F2, L+1): at [f1,i,f2,k] the two new cross arcs
-    # c_{f1}(u1_i, v2_{k+1}) + c_{f2}(u2_k, v1_{i+1}) minus the two old.
-    # fixed-cost change from routes opening/closing
+    # new route sizes after the exchange
     n1_new = i_c + (lens[None, None, :, None] - k_c)
     n2_new = k_c + (lens[:, None, None, None] - i_c)
+    # Two new cross arcs c_{f1}(u1_i, v2_{k+1}) + c_{f2}(u2_k, v1_{i+1})
+    # minus the two old ones — except that an EMPTY route traverses no
+    # start->return arc in the exact host model (route_cost charges 0), so
+    # the fictitious arc of a route that is empty before (lens==0) or
+    # after (n_new==0) the exchange is zeroed rather than priced.
+    new1 = jnp.where(
+        n1_new == 0, 0.0,
+        cmat[f1, u_cut[:, :, None, None], v_succ[None, None]],
+    )
+    new2 = jnp.where(
+        n2_new == 0, 0.0,
+        cmat[f2, u_cut[None, None], v_succ[:, :, None, None]],
+    )
+    old1 = jnp.where(
+        lens[:, None, None, None] == 0, 0.0,
+        cmat[f1, u_cut[:, :, None, None], v_succ[:, :, None, None]],
+    )
+    old2 = jnp.where(
+        lens[None, None, :, None] == 0, 0.0,
+        cmat[f2, u_cut[None, None], v_succ[None, None]],
+    )
+    ts_delta = new1 + new2 - old1 - old2  # (F1, L+1, F2, L+1)
+    # fixed-cost change from routes opening/closing
     was1 = lens[:, None, None, None] > 0
     was2 = lens[None, None, :, None] > 0
     ts_delta = (
@@ -397,6 +419,11 @@ def evaluate_moves(p: LsProblem, R, lens):
         (p.veh_ti[:, None] == p.veh_ti[None, :])
         & (p.veh_return[:, None] == p.veh_return[None, :])
         & (p.veh_tw_late[:, None] == p.veh_tw_late[None, :])
+        # skip_first/drop_return change which terminal arcs are priced:
+        # the cancellation of tail-internal terms is only valid when both
+        # vehicles price their terminal arcs identically
+        & (p.skip_first[:, None] == p.skip_first[None, :])
+        & (p.drop_return[:, None] == p.drop_return[None, :])
     )  # (F1, F2)
     cap1_ok = jnp.all(
         pre_dem[:, :, :, None, None] + suf_dem[:, None, None, :, :]
@@ -431,11 +458,12 @@ def evaluate_moves(p: LsProblem, R, lens):
         & alw_tail2_on1
         & alw_tail1_on2
         & cap1_ok & cap2_ok & ts_tw_ok
+        # both resulting routes must fit in the padded width L
+        & (n1_new <= L) & (n2_new <= L)
     )
     ts_score = jnp.where(ts_mask, ts_delta, BIG)
 
     # ---- Or-opt: move the 2-segment (i, i+1) of r1 into slot (r2, j) ----
-    pos_l = jnp.arange(L)
     seg_ok = valid & jnp.concatenate(
         [valid[:, 1:], jnp.zeros((F, 1), bool)], axis=1
     )  # positions i with a valid successor i+1
@@ -501,11 +529,21 @@ def evaluate_moves(p: LsProblem, R, lens):
         & alw_seg_t[:, None]
         & oro_tw_ok
         & ~same_route
+        # receiving route gains 2 orders; must fit in padded width L
+        & (lens[:, None, None, None] + 2 <= L)
     )
     close1_seg = jnp.where(lens == 2, p.veh_fixed, 0.0)
     oro_delta = oro_delta + open2[:, None, None, None] - \
         close1_seg[None, None, :, None]
     oro_score = jnp.where(oro_mask, oro_delta, BIG)
+    return reloc_score, swap_score, two_score, ts_score, oro_score
+
+
+@partial(jax.jit, static_argnames=())
+def evaluate_moves(p: LsProblem, R, lens):
+    """Score all moves; return (delta, kind, (a, b, c, d))."""
+    reloc_score, swap_score, two_score, ts_score, oro_score = \
+        _move_scores(p, R, lens)
 
     # ---- pick global best ----
     r_best = jnp.min(reloc_score)
@@ -557,3 +595,50 @@ def evaluate_moves(p: LsProblem, R, lens):
         ),
     )
     return best, kind, mv
+
+
+@partial(jax.jit, static_argnames=("kf",))
+def evaluate_moves_topk(p: LsProblem, R, lens, kf: int = 8):
+    """Top-kf moves per family in one device program.
+
+    The reference executes whole move SETS per GPU iteration
+    (local_search/move_candidates/): candidates are generated in bulk and
+    a maximal non-conflicting subset is applied. Here the device returns
+    the kf best candidates of each family; the host greedily applies all
+    that touch disjoint routes, so one device round-trip commits many
+    moves instead of one.
+
+    Returns (deltas (5*kf,), kinds (5*kf,), mvs (5*kf, 4)); padded /
+    invalid entries have delta >= BIG.
+    """
+    scores = _move_scores(p, R, lens)
+
+    def family_topk(score, kind_id, unpack):
+        flat = jnp.concatenate(
+            [score.reshape(-1), jnp.full((kf,), BIG, score.dtype)]
+        )
+        neg, idx = jax.lax.top_k(-flat, kf)
+        idx = jnp.minimum(idx, score.size - 1 if score.size else 0)
+        args = jnp.unravel_index(idx, score.shape)
+        mv = unpack(args)  # (kf, 4)
+        return -neg, jnp.full((kf,), kind_id, jnp.int32), mv
+
+    def std4(args):
+        return jnp.stack(args, axis=1).astype(jnp.int32)
+
+    def two4(args):
+        return jnp.stack(
+            [args[0], args[1], args[0], args[2]], axis=1
+        ).astype(jnp.int32)
+
+    outs = [
+        family_topk(scores[0], 0, std4),
+        family_topk(scores[1], 1, std4),
+        family_topk(scores[2], 2, two4),
+        family_topk(scores[3], 3, std4),
+        family_topk(scores[4], 4, std4),
+    ]
+    deltas = jnp.concatenate([o[0] for o in outs])
+    kinds = jnp.concatenate([o[1] for o in outs])
+    mvs = jnp.concatenate([o[2] for o in outs])
+    return deltas, kinds, mvs

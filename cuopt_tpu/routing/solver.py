@@ -69,37 +69,73 @@ def _apply_move(routes, kind, mv):
 
 def _needs_exact_recheck(prob) -> bool:
     """The jitted move evaluator scores TW/capacity/match constraints but
-    not breaks or per-vehicle max cost/time; those need a host re-check."""
+    not breaks, per-vehicle max cost/time, or skip-first/drop-return arc
+    pricing; those need a host re-check of each applied move."""
     import numpy as np
 
     return bool(prob.breaks) or bool(
         np.any(np.isfinite(prob.veh_max_cost))
         or np.any(np.isfinite(prob.veh_max_time))
+        or np.any(prob.skip_first)
+        or np.any(prob.drop_return)
     )
 
 
+def _pad_len(routes) -> int:
+    """Padded route width: +4 headroom, rounded up to a multiple of 8 so
+    jit recompiles are rare and monotone as routes grow."""
+    longest = max((len(r) for r in routes.values()), default=1)
+    return max(8, ((longest + 4 + 7) // 8) * 8)
+
+
 def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
-    from cuopt_tpu.routing.local_search import evaluate_moves
+    """Batched local search: one device call scores the top-k candidates
+    of every move family; the host applies ALL improving candidates that
+    touch disjoint routes (the reference executes whole move sets per GPU
+    iteration, local_search/move_candidates/). Moves that fail the exact
+    host model (breaks, max cost/time, terminal-arc flags) are skipped
+    individually, never aborting the search."""
+    from cuopt_tpu.routing.local_search import evaluate_moves_topk
 
     exact = _needs_exact_recheck(prob)
-    L_pad = max(8, max((len(r) for r in routes.values()), default=1) + 4)
+    L_pad = _pad_len(routes)
     for _ in range(max_rounds):
         if timer.expired():
             break
+        L_pad = max(L_pad, _pad_len(routes))
         R, lens = _routes_to_arrays(prob, routes, L_pad)
-        delta, kind, mv = evaluate_moves(lsp, R, lens)
-        if float(delta) >= -1e-7:
-            break
-        new_routes = _apply_move(
-            {v: list(r) for v, r in routes.items()}, kind, mv
+        deltas, kinds, mvs = (
+            np.asarray(a) for a in evaluate_moves_topk(lsp, R, lens)
         )
-        if exact:
-            touched = {int(mv[0]), int(mv[2])}
-            if not all(
-                prob.route_feasible(v, new_routes[v]) for v in touched
-            ):
-                break  # best device move fails the exact model; stop
-        routes = new_routes
+        order = np.argsort(deltas, kind="stable")
+        touched: set[int] = set()
+        applied = 0
+        for c in order:
+            if deltas[c] >= -1e-7:
+                break
+            mv = mvs[c]
+            va, vb = int(mv[0]), int(mv[2])
+            if va in touched or vb in touched:
+                continue
+            cand = _apply_move(
+                {v: list(r) for v, r in routes.items()}, kinds[c], mv
+            )
+            if exact:
+                base = sum(
+                    prob.route_cost(v, routes[v]) for v in {va, vb}
+                )
+                new = sum(
+                    prob.route_cost(v, cand[v]) for v in {va, vb}
+                )
+                if new >= base - 1e-9 or not all(
+                    prob.route_feasible(v, cand[v]) for v in {va, vb}
+                ):
+                    continue  # skip this move, keep scanning candidates
+            routes = cand
+            touched.update((va, vb))
+            applied += 1
+        if applied == 0:
+            break
     return routes
 
 
@@ -148,20 +184,23 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     )
     from cuopt_tpu.routing.ges import minimize_routes
 
-    # GES route minimization pays when emptying a route saves fixed cost
-    # (reference runs it unconditionally for route-count-first objectives)
-    if np.any(prob.veh_fixed_cost > 0) and prob.pd_partner is None:
-        routes = minimize_routes(
-            prob, routes, timer, rng,
-            budget_s=0.25 * max(timer.remaining(), 0.0),
-            target=data_model.min_vehicles or 0,
-        )
-        routes = _local_search(prob, lsp, routes, timer)
+    # GES route minimization runs unconditionally as the route-count-first
+    # phase (reference ges_solver.cu:51 compute_ges_solution); the
+    # population keeps the pre-GES solution too, so a cost-focused
+    # objective can still win with more routes.
+    pre_ges = {v: list(r) for v, r in routes.items()}
+    routes = minimize_routes(
+        prob, routes, timer, rng,
+        budget_s=0.25 * max(timer.remaining(), 0.0),
+        target=data_model.min_vehicles or 0,
+    )
+    routes = _local_search(prob, lsp, routes, timer)
 
     if prob.prizes is not None:
         routes, unassigned = prize_filter(prob, routes, unassigned)
 
     pop = RoutingPopulation()
+    pop.add(prob, pre_ges, unassigned)
     pop.add(prob, routes, unassigned)
 
     # evolutionary diversity loop: recombine / mutate, polish with the

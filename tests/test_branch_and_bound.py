@@ -1,0 +1,120 @@
+"""Branch & bound correctness tests.
+
+Regression tests for two round-1 correctness holes (VERDICT.md):
+  - a node whose relaxation hits an iteration/time limit must be
+    re-queued, never silently dropped (the reference keeps nodes open,
+    cpp/src/dual_simplex/branch_and_bound.hpp:45);
+  - node bounds must be rigorous: a PDLP dual iterate is only
+    approximately feasible, so bounds come from the safe Lagrangian bound
+    (reference bounds come from exact dual simplex).
+"""
+
+import math
+
+import numpy as np
+
+from cuopt_tpu import constants as C
+from cuopt_tpu.linear_programming import MIPSolverSettings
+from cuopt_tpu.mip.branch_and_bound import BranchAndBound
+from cuopt_tpu.problem.data_model import OptimizationProblem
+from cuopt_tpu.utils.timer import Timer
+
+
+def knapsack_problem():
+    """max 5x0+4x1+3x2 s.t. 2x0+3x1+x2 <= 5, 4x0+x1+2x2 <= 11, x in {0..3}.
+
+    Stated as minimize (negated objective); LP relaxation is fractional.
+    """
+    A = np.array([[2.0, 3.0, 1.0], [4.0, 1.0, 2.0]])
+    p = OptimizationProblem.from_dense(
+        A,
+        c=np.array([-5.0, -4.0, -3.0]),
+        constraint_lower=np.array([-np.inf, -np.inf]),
+        constraint_upper=np.array([5.0, 11.0]),
+        variable_lower=np.zeros(3),
+        variable_upper=np.full(3, 3.0),
+        variable_types=np.array(["I", "I", "I"]),
+    )
+    return p
+
+
+class LimitFirstBnB(BranchAndBound):
+    """Forces the FIRST node relaxation to report an iteration limit."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.calls = 0
+
+    def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
+                          timer=None, effort=1):
+        raw = super()._solve_relaxation(lv, uv, x_warm, y_warm, timer,
+                                        effort)
+        self.calls += 1
+        if self.calls == 1:
+            raw = dict(raw)
+            raw["status"] = C.CUOPT_TERIMINATION_STATUS_ITERATION_LIMIT
+        return raw
+
+
+class AlwaysLimitBnB(BranchAndBound):
+    """Every node relaxation reports an iteration limit (never resolves)."""
+
+    def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
+                          timer=None, effort=1):
+        raw = super()._solve_relaxation(lv, uv, x_warm, y_warm, timer,
+                                        effort)
+        raw = dict(raw)
+        raw["status"] = C.CUOPT_TERIMINATION_STATUS_ITERATION_LIMIT
+        return raw
+
+
+def test_limit_hit_node_is_requeued_not_dropped():
+    p = knapsack_problem()
+    bnb = LimitFirstBnB(p, MIPSolverSettings())
+    res = bnb.solve(Timer(120.0))
+    # Re-queued root solves on the second attempt; search completes and
+    # finds the integer optimum -13 at (1,1,0) [5+4+3*0... checked below].
+    assert res["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    x = res["incumbent"]
+    assert np.allclose(x, np.round(x), atol=1e-6)
+    assert res["incumbent_obj"] <= -12.9
+    # rigorous bound sandwiches the optimum
+    assert res["best_bound"] <= res["incumbent_obj"] + 1e-6
+    assert bnb.calls >= 2  # the limited node really was re-solved
+
+
+def test_never_resolving_node_blocks_optimal_claim():
+    p = knapsack_problem()
+    bnb = AlwaysLimitBnB(p, MIPSolverSettings())
+    # inject a (suboptimal) feasible incumbent: x = (1, 1, 0), obj -9
+    bnb.set_incumbent(np.array([1.0, 1.0, 0.0]), -9.0)
+    res = bnb.solve(Timer(30.0))
+    # Pre-fix behavior: the root node was dropped, the heap emptied, and
+    # OPTIMAL was claimed for the -9 incumbent although the true optimum
+    # is better. Now the open subtree forbids an OPTIMAL claim.
+    assert res["status"] != C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    assert res["status"] == C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND
+    assert res["incumbent_obj"] == -9.0
+
+
+def test_safe_dual_bound_is_rigorous():
+    p = knapsack_problem()
+    bnb = BranchAndBound(p, MIPSolverSettings())
+    lv = p.variable_lower_bounds
+    uv = p.variable_upper_bounds
+    # The LP optimum of the relaxation is a valid reference point; the
+    # safe Lagrangian bound must never exceed it for ANY y, including
+    # garbage vectors.
+    raw = bnb._solve_relaxation(lv, uv, timer=Timer(60.0))
+    lp_opt = raw["primal_objective"]
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        y = rng.normal(size=p.n_constraints) * 10.0
+        b = bnb._safe_dual_bound(y, lv, uv)
+        assert b <= lp_opt + 1e-6
+    # the bound from the (near-)optimal dual is tight-ish
+    b_star = bnb._safe_dual_bound(raw["dual_solution"], lv, uv)
+    assert b_star <= lp_opt + 1e-6
+    assert b_star >= lp_opt - 1e-2 * max(1.0, abs(lp_opt))
+    # and -inf/NaN never escape
+    assert not math.isnan(b_star)

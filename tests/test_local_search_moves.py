@@ -105,6 +105,28 @@ def test_two_opt_star_descends_to_uncrossed_tails():
     assert prob.solution_cost(routes) == pytest.approx(204.0, abs=1e-6)
 
 
+def test_route_merge_does_not_overflow_padding():
+    # ADVICE.md (high): 2-opt* can merge two routes into one longer than
+    # the padded width computed before the loop; _routes_to_arrays then
+    # crashed with a broadcast error. Two 6-order routes on a line where
+    # merging everything onto one vehicle is optimal (large fixed costs).
+    from cuopt_tpu.routing.settings import SolverSettings
+    from cuopt_tpu.routing.solver import Solve
+
+    x = np.concatenate([[0.0], np.arange(1.0, 13.0)])
+    cost = np.abs(x[:, None] - x[None])
+    dm = DataModel(13, 2, 12)
+    dm.add_cost_matrix(cost)
+    dm.set_order_locations(np.arange(1, 13))
+    dm.set_vehicle_fixed_costs(np.array([100.0, 100.0]))
+    s = SolverSettings()
+    s.time_limit = 10.0
+    sol = Solve(dm, s)  # must not raise
+    assert sol.get_status() == 0
+    # optimal: one vehicle sweeps 0..12..0 = 24 travel + 100 fixed
+    assert sol.get_total_objective() <= 224.0 + 1e-6
+
+
 def test_or_opt_moves_adjacent_pair_together():
     # Segment (a, b) sits in the wrong route; moving the orders one at a
     # time is cost-increasing but moving the pair is improving when the
