@@ -84,6 +84,16 @@ class DeviceProblem:
     row_scale: jax.Array
     col_scale: jax.Array
     offset: jax.Array  # objective offset (scalar)
+    # bandwidth-reducing permutation absorbed into the problem (None when
+    # the operator needed no reordering). The solver runs entirely in
+    # permuted space — zero per-iteration gather cost — and the host
+    # driver un-permutes the solution vectors at extraction
+    # (sparse/reorder.py; the GPU reference needs no analogue since
+    # cusparse SpMV is pattern-oblivious).
+    row_perm: jax.Array | None = None      # dev row i = user row rp[i]
+    inv_row_perm: jax.Array | None = None
+    col_perm: jax.Array | None = None
+    inv_col_perm: jax.Array | None = None
 
 
 @struct.dataclass
@@ -702,6 +712,20 @@ def build_device_problem(prob, hp: PdlpHyperParams, dtype,
         prob.offsets, prob.indices, prob.values, n, m, dtype=dtype,
         kind=operator_kind,
     )
+    row_perm = inv_row_perm = col_perm = inv_col_perm = None
+    from cuopt_tpu.sparse import PermutedOp
+    if isinstance(op0, PermutedOp):
+        # absorb the bandwidth-reducing permutation into the problem:
+        # one-time gathers here; the hot loop then runs un-gathered on
+        # the banded inner operator
+        row_perm, col_perm = op0.row_perm, op0.col_perm
+        inv_row_perm, inv_col_perm = op0.inv_row_perm, op0.inv_col_perm
+        op0 = op0.inner
+        c_orig = c_orig[col_perm]
+        lv_orig = lv_orig[col_perm]
+        uv_orig = uv_orig[col_perm]
+        lc_orig = lc_orig[row_perm]
+        uc_orig = uc_orig[row_perm]
     lv_fin = jnp.isfinite(lv_orig)
     uv_fin = jnp.isfinite(uv_orig)
     lc_fin = jnp.isfinite(lc_orig)
@@ -730,6 +754,8 @@ def build_device_problem(prob, hp: PdlpHyperParams, dtype,
         lv0_orig=lv0_orig, uv0_orig=uv0_orig,
         lc0_orig=lc0_orig, uc0_orig=uc0_orig,
         row_scale=row_scale, col_scale=col_scale, offset=offset,
+        row_perm=row_perm, inv_row_perm=inv_row_perm,
+        col_perm=col_perm, inv_col_perm=inv_col_perm,
     )
 
 
@@ -745,10 +771,17 @@ def initial_state(dev: DeviceProblem, hp: PdlpHyperParams, dtype,
         if hp.project_initial_primal:
             x = jnp.clip(x, dev.lv, dev.uv)
     else:
-        x = jnp.asarray(x0, dtype) / dev.col_scale
-    y = jnp.zeros((n,), dtype) if y0 is None else (
-        jnp.asarray(y0, dtype) / dev.row_scale
-    )
+        x = jnp.asarray(x0, dtype)
+        if dev.col_perm is not None:  # user space -> permuted space
+            x = x[dev.col_perm]
+        x = x / dev.col_scale
+    if y0 is None:
+        y = jnp.zeros((n,), dtype)
+    else:
+        y = jnp.asarray(y0, dtype)
+        if dev.row_perm is not None:
+            y = y[dev.row_perm]
+        y = y / dev.row_scale
     ax = dev.op.matvec(x)
     aty = dev.op.rmatvec(y)
 
@@ -895,6 +928,8 @@ class PdlpSolver:
                     if not flag:
                         continue
                     xx = np.asarray(report[f"x_{which}"])
+                    if dev.inv_col_perm is not None:
+                        xx = xx[np.asarray(dev.inv_col_perm)]
                     act = _host_activity(self.prob, xx)
                     lo = self.prob.constraint_lower_bounds
                     hi = self.prob.constraint_upper_bounds
@@ -984,6 +1019,16 @@ class PdlpSolver:
         from cuopt_tpu.lp.warm_start import capture_warm_start
 
         sol["warm_start_data"] = capture_warm_start(dev, state)
+        # solution vectors live in permuted space when the operator was
+        # bandwidth-reordered: gather back to user order (warm-start data
+        # intentionally stays in permuted space — it is restored against
+        # the same deterministic permutation of the same problem)
+        if dev.inv_col_perm is not None:
+            inv_cp = np.asarray(dev.inv_col_perm)
+            inv_rp = np.asarray(dev.inv_row_perm)
+            sol["primal_solution"] = sol["primal_solution"][inv_cp]
+            sol["dual_solution"] = sol["dual_solution"][inv_rp]
+            sol["reduced_cost"] = sol["reduced_cost"][inv_cp]
         # undo the minimize transform for maximize problems
         if self.prob.maximize:
             sol["primal_objective"] = -sol["primal_objective"]

@@ -4,9 +4,12 @@ from cuopt_tpu.sparse.ops import (
     EllOp,
     LinearOperator,
     BlockBandOp,
+    PermutedOp,
     build_block_band,
+    build_permuted_band,
     build_operator,
 )
 
 __all__ = ["LinearOperator", "DenseOp", "EllOp", "CsrOp",
-           "BlockBandOp", "build_block_band", "build_operator"]
+           "BlockBandOp", "PermutedOp", "build_block_band",
+           "build_permuted_band", "build_operator"]

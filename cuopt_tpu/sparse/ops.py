@@ -195,19 +195,25 @@ class CsrOp(LinearOperator):
 class BlockBandOp(LinearOperator):
     """Banded block-dense operator: rows are tiled in groups of `tile`
     (128, the MXU lane width); each row-tile stores a DENSE slab covering
-    the column window that contains all its nonzeros. matvec is a batched
-    (T, tile, W) x (T, W) einsum on the MXU — no gathers, no segment sums.
+    a column window positioned (densest-window heuristic) over its
+    nonzeros. matvec is a batched (T, tile, W) x (T, W) einsum on the MXU
+    — no gathers, no segment sums — plus an optional small CSR "spill"
+    segment-sum for the few entries that fall outside their tile's window
+    (outlier dense rows, coupling constraints).
 
-    This is the TPU-first answer to cusparse CSR SpMV for the staircase /
-    banded structure that dominates real LP families (multiperiod,
-    multicommodity, network models): XLA's generic gather costs ~300x
-    speed-of-light on TPU for 1-D scatters/gathers, while dense slabs ride
-    the MXU at full HBM bandwidth. Window starts are static (computed on
-    host from the sparsity pattern), so x-window extraction compiles to
-    contiguous copies.
+    This is the TPU-first answer to cusparse CSR SpMV
+    (cpp/src/linear_programming/cusparse_view.hpp:30): XLA's generic
+    gather costs ~300x speed-of-light on TPU for 1-D scatters/gathers,
+    while dense slabs ride the MXU at full HBM bandwidth. Window starts
+    are static (computed on host from the sparsity pattern), so x-window
+    extraction compiles to contiguous copies. The spill keeps the window
+    width at a quantile of per-tile needs instead of the max, so one bad
+    row no longer blows up the whole slab; combined with the bandwidth-
+    reducing permutation (sparse/reorder.py + PermutedOp) this covers
+    general unstructured patterns, not just natively banded ones.
 
     A transposed band (col-tiles x row windows) of the SAME matrix serves
-    rmatvec.
+    rmatvec, with its own independent spill.
     """
 
     n_rows: int = struct.field(pytree_node=False)
@@ -219,6 +225,14 @@ class BlockBandOp(LinearOperator):
     col_starts: tuple = struct.field(pytree_node=False)  # (T_c,) static
     row_slabs: jax.Array  # (T_r, tile, w_row)   A row tiles
     col_slabs: jax.Array  # (T_c, tile, w_col)   A^T col tiles
+    # spill of A entries outside the row-slab windows (row-sorted COO)
+    spill_vals: jax.Array  # (S_r,)
+    spill_rows: jax.Array  # (S_r,) int32, sorted
+    spill_cols: jax.Array  # (S_r,) int32
+    # spill of A^T entries outside the col-slab windows (A^T-row-sorted)
+    t_spill_vals: jax.Array  # (S_c,)
+    t_spill_rows: jax.Array  # (S_c,) int32 = A columns, sorted
+    t_spill_cols: jax.Array  # (S_c,) int32 = A rows
 
     @property
     def shape(self):
@@ -237,7 +251,13 @@ class BlockBandOp(LinearOperator):
             "trw,tw->tr", self.row_slabs, xw,
             preferred_element_type=self.row_slabs.dtype,
         )
-        return out.reshape(-1)[: self.n_rows]
+        out = out.reshape(-1)[: self.n_rows]
+        if self.spill_vals.shape[0]:
+            out = out + jax.ops.segment_sum(
+                self.spill_vals * x[self.spill_cols], self.spill_rows,
+                num_segments=self.n_rows, indices_are_sorted=True,
+            )
+        return out
 
     def rmatvec(self, y):
         yw = self._windows(y, self.col_starts, self.w_col, self.n_rows)
@@ -245,7 +265,14 @@ class BlockBandOp(LinearOperator):
             "trw,tw->tr", self.col_slabs, yw,
             preferred_element_type=self.col_slabs.dtype,
         )
-        return out.reshape(-1)[: self.n_cols]
+        out = out.reshape(-1)[: self.n_cols]
+        if self.t_spill_vals.shape[0]:
+            out = out + jax.ops.segment_sum(
+                self.t_spill_vals * y[self.t_spill_cols],
+                self.t_spill_rows,
+                num_segments=self.n_cols, indices_are_sorted=True,
+            )
+        return out
 
     def _scatter_cols(self, partials, starts, width, total):
         """Sum per-tile window reductions back onto the full axis.
@@ -272,99 +299,290 @@ class BlockBandOp(LinearOperator):
             col_scale, jnp.zeros((self.col_slabs.shape[0] * self.tile
                                   - self.n_cols,), col_scale.dtype)
         ]).reshape(-1, self.tile)
-        return self.replace(
+        new = self.replace(
             row_slabs=self.row_slabs * rs_pad[:, :, None] * rw[:, None, :],
             col_slabs=self.col_slabs * cs_pad[:, :, None] * cw[:, None, :],
         )
+        if self.spill_vals.shape[0]:
+            new = new.replace(
+                spill_vals=self.spill_vals
+                * row_scale[self.spill_rows]
+                * col_scale[self.spill_cols],
+            )
+        if self.t_spill_vals.shape[0]:
+            new = new.replace(
+                t_spill_vals=self.t_spill_vals
+                * col_scale[self.t_spill_rows]
+                * row_scale[self.t_spill_cols],
+            )
+        return new
 
     def abs_max(self):
-        return jnp.max(jnp.abs(self.row_slabs))
+        m = jnp.max(jnp.abs(self.row_slabs))
+        if self.spill_vals.shape[0]:
+            m = jnp.maximum(m, jnp.max(jnp.abs(self.spill_vals)))
+        return m
 
     def row_abs_reduce(self, power):
         r = jnp.sum(jnp.abs(self.row_slabs) ** power, axis=2)
-        return r.reshape(-1)[: self.n_rows]
+        r = r.reshape(-1)[: self.n_rows]
+        if self.spill_vals.shape[0]:
+            r = r + jax.ops.segment_sum(
+                jnp.abs(self.spill_vals) ** power, self.spill_rows,
+                num_segments=self.n_rows, indices_are_sorted=True,
+            )
+        return r
 
     def col_abs_reduce(self, power):
         r = jnp.sum(jnp.abs(self.col_slabs) ** power, axis=2)
-        return r.reshape(-1)[: self.n_cols]
+        r = r.reshape(-1)[: self.n_cols]
+        if self.t_spill_vals.shape[0]:
+            r = r + jax.ops.segment_sum(
+                jnp.abs(self.t_spill_vals) ** power, self.t_spill_rows,
+                num_segments=self.n_cols, indices_are_sorted=True,
+            )
+        return r
 
     def row_abs_max(self):
         r = jnp.max(jnp.abs(self.row_slabs), axis=2)
-        return r.reshape(-1)[: self.n_rows]
+        r = r.reshape(-1)[: self.n_rows]
+        if self.spill_vals.shape[0]:
+            r = jnp.maximum(r, jnp.maximum(jax.ops.segment_max(
+                jnp.abs(self.spill_vals), self.spill_rows,
+                num_segments=self.n_rows, indices_are_sorted=True,
+            ), 0.0))
+        return r
 
     def col_abs_max(self):
         r = jnp.max(jnp.abs(self.col_slabs), axis=2)
-        return r.reshape(-1)[: self.n_cols]
+        r = r.reshape(-1)[: self.n_cols]
+        if self.t_spill_vals.shape[0]:
+            r = jnp.maximum(r, jnp.maximum(jax.ops.segment_max(
+                jnp.abs(self.t_spill_vals), self.t_spill_rows,
+                num_segments=self.n_cols, indices_are_sorted=True,
+            ), 0.0))
+        return r
 
 
-def _band_layout(offsets, indices, n_axis, n_other, tile):
-    """Per-tile column windows along `n_axis` rows.
+@struct.dataclass
+class PermutedOp(LinearOperator):
+    """A under a bandwidth-reducing row/column permutation:
+    inner = A[row_perm][:, col_perm] (a BlockBandOp). The wrapper routes
+    matvec/rmatvec through O(m+n) gathers — negligible next to the SpMV —
+    so the MXU slab path serves matrices that are only bandable after
+    reordering (sparse/reorder.py). Reference counterpart: cusparse CSR
+    SpMV needs no reordering on GPU; on TPU this is the general-pattern
+    fast path."""
 
-    Returns (starts (T,), width W, T). starts are clamped so every window
-    fits inside [0, max(n_other, W)] — the operand vector is zero-padded
-    to that length on device."""
+    inner: BlockBandOp
+    row_perm: jax.Array      # (n,) int32: inner row i = A row row_perm[i]
+    inv_row_perm: jax.Array  # (n,) int32
+    col_perm: jax.Array      # (m,) int32
+    inv_col_perm: jax.Array  # (m,) int32
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def matvec(self, x):
+        return self.inner.matvec(x[self.col_perm])[self.inv_row_perm]
+
+    def rmatvec(self, y):
+        return self.inner.rmatvec(y[self.row_perm])[self.inv_col_perm]
+
+    def rescale(self, row_scale, col_scale):
+        return self.replace(inner=self.inner.rescale(
+            row_scale[self.row_perm], col_scale[self.col_perm]
+        ))
+
+    def abs_max(self):
+        return self.inner.abs_max()
+
+    def row_abs_reduce(self, power):
+        return self.inner.row_abs_reduce(power)[self.inv_row_perm]
+
+    def col_abs_reduce(self, power):
+        return self.inner.col_abs_reduce(power)[self.inv_col_perm]
+
+    def row_abs_max(self):
+        return self.inner.row_abs_max()[self.inv_row_perm]
+
+    def col_abs_max(self):
+        return self.inner.col_abs_max()[self.inv_col_perm]
+
+
+def _tile_windows(offsets, indices, n_axis, tile, W):
+    """Per-tile window starts for width W, placed on the densest window
+    of each tile's (sorted) column indices via a two-pointer pass.
+    Returns (starts (T,), inside mask over nnz)."""
     T = (n_axis + tile - 1) // tile
     starts = np.zeros(T, np.int64)
-    width = tile
-    los = np.zeros(T, np.int64)
+    inside = np.zeros(offsets[-1], bool)
     for t in range(T):
-        a = offsets[min(t * tile, n_axis)]
-        b = offsets[min((t + 1) * tile, n_axis)]
-        if b > a:
-            lo = int(indices[a:b].min())
-            hi = int(indices[a:b].max())
-            los[t] = lo
-            width = max(width, hi - lo + 1)
-    width = ((width + tile - 1) // tile) * tile
-    starts[:] = los  # operand vectors are zero-padded by `width` on device
-    return starts, width, T
+        a = int(offsets[min(t * tile, n_axis)])
+        b = int(offsets[min((t + 1) * tile, n_axis)])
+        if b <= a:
+            continue
+        seg = np.sort(indices[a:b])
+        if seg[-1] - seg[0] < W:
+            s = int(seg[0])
+        else:
+            jj = np.searchsorted(seg, seg + W, side="left")
+            covered = jj - np.arange(len(seg))
+            s = int(seg[int(np.argmax(covered))])
+        starts[t] = s
+        inside[a:b] = (indices[a:b] >= s) & (indices[a:b] < s + W)
+    return starts, inside
 
 
 def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
-                np_dtype):
-    """(slabs (T, tile, W), starts tuple, W). None if the band blows up."""
-    starts, W, T = _band_layout(offsets, indices, n_axis, n_other, tile)
-    slab_elems = T * tile * W
+                np_dtype, spill_frac=0.15):
+    """Slab decomposition of a CSR matrix along `n_axis` rows.
+
+    Picks the narrowest window width W (multiple of `tile`) such that the
+    out-of-window spill stays under spill_frac * nnz, trying the full
+    width first (zero spill) and then per-tile-width quantiles. Returns
+    (slabs (T, tile, W), starts tuple, W, (spill_vals, spill_rows,
+    spill_cols)) or None if every candidate blows the slab budget."""
+    T = (n_axis + tile - 1) // tile
     nnz = len(values)
-    # The MXU/HBM slab path beats XLA gathers by ~2 orders of magnitude,
-    # so tolerate a generous density blow-up before falling back.
-    if slab_elems > max(128 * max(nnz, 1), 1 << 22) or \
-            slab_elems * np.dtype(np_dtype).itemsize > (1 << 29):
-        return None
-    slabs = np.zeros((T, tile, W), np_dtype)
+    elem_budget = max(128 * max(nnz, 1), 1 << 22)
+    byte_budget = 1 << 29
+    rows = np.repeat(np.arange(n_axis, dtype=np.int64), np.diff(offsets))
+
+    # per-tile full window widths
+    full_w = np.zeros(T, np.int64)
     for t in range(T):
-        for i in range(t * tile, min((t + 1) * tile, n_axis)):
-            a, b = offsets[i], offsets[i + 1]
-            if b > a:
-                slabs[t, i - t * tile, indices[a:b] - starts[t]] += \
-                    values[a:b]
-    return slabs, tuple(int(s) for s in starts), W
+        a = int(offsets[min(t * tile, n_axis)])
+        b = int(offsets[min((t + 1) * tile, n_axis)])
+        if b > a:
+            seg = indices[a:b]
+            full_w[t] = int(seg.max()) - int(seg.min()) + 1
+
+    def _round(w):
+        return max(tile, ((int(w) + tile - 1) // tile) * tile)
+
+    nz_w = full_w[full_w > 0]
+    cands = [_round(full_w.max() if T else tile)]
+    if len(nz_w):
+        for q in (0.95, 0.85, 0.7, 0.5):
+            cands.append(_round(np.quantile(nz_w, q)))
+    # geometric ladder: quantiles of full widths are poisoned when outlier
+    # entries stretch many tiles' windows; the ladder + min-cost selection
+    # still finds a narrow window + spill decomposition in that case
+    w = tile
+    w_max = elem_budget // max(T * tile, 1)
+    while w <= min(w_max, max(int(full_w.max()) if T else tile, tile)):
+        cands.append(w)
+        w *= 4
+    # Pick the candidate minimizing modeled HBM cost: slab traffic is one
+    # element-read per slab cell; a spill entry costs a random gather +
+    # scatter-add. Measured on TPU: slabs stream at ~0.04ns/elem (HBM
+    # speed) while segment-sum spill costs ~30ns/entry, so a spill entry
+    # is worth ~1000 slab elements.
+    SPILL_COST = 1024
+    chosen, best_cost = None, np.inf
+    for W in sorted(set(cands), reverse=True):
+        slab_elems = T * tile * W
+        if slab_elems > elem_budget or \
+                slab_elems * np.dtype(np_dtype).itemsize > byte_budget:
+            continue
+        starts, inside = _tile_windows(offsets, indices, n_axis, tile, W)
+        n_spill = int((~inside).sum())
+        if n_spill > spill_frac * max(nnz, 1):
+            continue
+        cost = slab_elems + SPILL_COST * n_spill
+        if cost < best_cost:
+            best_cost = cost
+            chosen = (W, starts, inside)
+    if chosen is None:
+        return None
+    W, starts, inside = chosen
+
+    slabs = np.zeros((T, tile, W), np_dtype)
+    if nnz:
+        t_of = rows // tile
+        r_in = rows % tile
+        local = indices - starts[t_of]
+        np.add.at(
+            slabs,
+            (t_of[inside], r_in[inside], local[inside]),
+            values[inside],
+        )
+    out = ~inside
+    spill = (
+        values[out].astype(np_dtype),
+        rows[out].astype(np.int32),
+        indices[out].astype(np.int32),
+    )
+    return slabs, tuple(int(s) for s in starts), W, spill
 
 
 def build_block_band(offsets, indices, values, n_rows, n_cols, dtype,
-                     tile=128):
+                     tile=128, spill_frac=0.15):
     """Build a BlockBandOp, or None when the matrix has no usable band
     structure (window blow-up guard in _band_slabs)."""
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     row = _band_slabs(offsets, indices, values, n_rows, n_cols, tile,
-                      np_dtype)
+                      np_dtype, spill_frac)
     if row is None:
         return None
     t_offsets, t_indices, t_values, _ = _transpose_csr(
         offsets, indices, values, n_rows, n_cols
     )
     col = _band_slabs(t_offsets, t_indices, t_values, n_cols, n_rows,
-                      tile, np_dtype)
+                      tile, np_dtype, spill_frac)
     if col is None:
         return None
-    row_slabs, row_starts, w_row = row
-    col_slabs, col_starts, w_col = col
+    row_slabs, row_starts, w_row, (sv, sr, sc) = row
+    col_slabs, col_starts, w_col, (tv, tr, tc) = col
     return BlockBandOp(
         n_rows=n_rows, n_cols=n_cols, tile=tile,
         w_row=w_row, w_col=w_col,
         row_starts=row_starts, col_starts=col_starts,
         row_slabs=jnp.asarray(row_slabs, dtype),
         col_slabs=jnp.asarray(col_slabs, dtype),
+        spill_vals=jnp.asarray(sv, dtype),
+        spill_rows=jnp.asarray(sr),
+        spill_cols=jnp.asarray(sc),
+        t_spill_vals=jnp.asarray(tv, dtype),
+        t_spill_rows=jnp.asarray(tr),
+        t_spill_cols=jnp.asarray(tc),
+    )
+
+
+def build_permuted_band(offsets, indices, values, n_rows, n_cols, dtype,
+                        tile=128, spill_frac=0.15):
+    """Bandwidth-reduce via row/col permutation (sparse/reorder.py), then
+    build the slab operator on the permuted matrix. Returns a PermutedOp
+    or None when even the permuted pattern has no usable band."""
+    from cuopt_tpu.sparse.reorder import (
+        bandwidth_permutation,
+        permute_csr,
+    )
+
+    rp, cp = bandwidth_permutation(offsets, indices, n_rows, n_cols,
+                                   tile=tile)
+    if np.array_equal(rp, np.arange(n_rows)) and \
+            np.array_equal(cp, np.arange(n_cols)):
+        return None  # permutation found nothing better than identity
+    p_offsets, p_indices, p_values = permute_csr(
+        offsets, indices, values, rp, cp, n_rows, n_cols
+    )
+    inner = build_block_band(p_offsets, p_indices, p_values, n_rows,
+                             n_cols, dtype, tile, spill_frac)
+    if inner is None:
+        return None
+    inv_rp = np.empty(n_rows, np.int64)
+    inv_rp[rp] = np.arange(n_rows)
+    inv_cp = np.empty(n_cols, np.int64)
+    inv_cp[cp] = np.arange(n_cols)
+    return PermutedOp(
+        inner=inner,
+        row_perm=jnp.asarray(rp, jnp.int32),
+        inv_row_perm=jnp.asarray(inv_rp, jnp.int32),
+        col_perm=jnp.asarray(cp, jnp.int32),
+        inv_col_perm=jnp.asarray(inv_cp, jnp.int32),
     )
 
 
@@ -418,16 +636,29 @@ def build_operator(
     values = np.asarray(values, np_dtype)
     nnz = len(values)
 
-    if kind in ("auto", "blockband") and n_rows > 0 and n_cols > 0 and \
+    if kind in ("auto", "blockband", "bandperm") and n_rows > 0 and \
+            n_cols > 0 and \
             not (kind == "auto" and n_rows * n_cols <= dense_size_limit):
-        op = build_block_band(
-            offsets, indices, values, n_rows, n_cols, dtype
-        )
-        if op is not None:
-            return op
+        if kind != "bandperm":
+            op = build_block_band(
+                offsets, indices, values, n_rows, n_cols, dtype
+            )
+            if op is not None:
+                return op
+        if kind in ("auto", "bandperm"):
+            op = build_permuted_band(
+                offsets, indices, values, n_rows, n_cols, dtype
+            )
+            if op is not None:
+                return op
         if kind == "blockband":
             raise ValueError(
                 "matrix has no usable band structure for 'blockband'"
+            )
+        if kind == "bandperm":
+            raise ValueError(
+                "matrix has no usable band structure even after "
+                "bandwidth-reducing permutation"
             )
 
     if kind == "auto":
