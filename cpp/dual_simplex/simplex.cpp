@@ -1,38 +1,53 @@
 // Host dual simplex for LP — native C++ core.
 //
 // Role parity with the reference cpp/src/dual_simplex/ (solve.hpp
-// solve_linear_program, phase1/phase2, bounded-variable ratio tests,
-// basis refactorization): a bounded-variable dual simplex over the
-// standard form
+// solve_linear_program, phase1/phase2.cpp pricing + ratio tests,
+// right_looking_lu.cpp + basis_updates.cpp factorization,
+// crossover.hpp:38 crossover) — re-designed, not ported. A
+// bounded-variable dual simplex over the standard form
 //
 //     min c^T x   s.t.  A x - s = 0,   lv <= x <= uv,  lc <= s <= uc
 //
-// (ranged rows become bounded logicals). The initial slack basis is made
-// dual-feasible by placing structurals at the bound matching the sign of
-// their cost; free variables with nonzero cost get temporary big bounds
-// (flagged in the status). Dense B^-1 with product-form eta updates and
-// periodic refactorization — intended for small/medium host-side solves
-// (B&B node cleanup, crossover polish, concurrent-LP races), not the
-// large-scale path (that is the device PDLP).
+// (ranged rows become bounded logicals), with:
+//   * sparse LU basis (singleton peel + bump elimination, sparse_lu.hpp)
+//     and product-form eta updates, refactorization every 100 pivots
+//   * dual Devex pricing (Forrest–Goldfarb reference-framework weights)
+//   * bound-flipping (long-step) dual ratio test
+//   * incremental reduced-cost and primal updates (no per-pivot
+//     re-pricing)
+//   * warm starts: an initial basis + nonbasic placement can be supplied
+//     (B&B node re-solves), and a PDLP interior point can be crossed
+//     over: placements from the sign of d* = c - A^T y*, ties broken
+//     toward the nearer bound of x* (reference crossover.hpp:38).
 //
-// C ABI at the bottom (ds_solve) for ctypes.
+// The initial slack basis is made dual-feasible by placing structurals
+// at the bound matching the sign of their reduced cost; free variables
+// with irreparable dual infeasibility get temporary big bounds (flagged:
+// if active at the optimum the LP is reported unbounded).
+//
+// C ABI at the bottom (ds_solve / ds_solve_adv) for ctypes.
 
 #include <algorithm>
-#include <atomic>
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <utility>
 #include <vector>
+
+#include "sparse_lu.hpp"
 
 namespace tpu_simplex {
 
 constexpr double kInf = std::numeric_limits<double>::infinity();
 constexpr double kBig = 1e9;       // temporary bound for free vars
 constexpr double kPivTol = 1e-9;   // minimal pivot magnitude
-constexpr double kFeasTol = 1e-9;  // primal bound tolerance
+constexpr double kFeasTol = 1e-7;  // primal bound tolerance
 constexpr double kDualTol = 1e-9;  // reduced-cost tolerance
+constexpr int kRefactorFreq = 100; // reference simplex_solver_settings.hpp
 
 enum Status : int {
   kOptimal = 0,
@@ -44,208 +59,485 @@ enum Status : int {
   kHalted = 6,
 };
 
+// nonbasic/basic status codes shared with the Python bindings
+enum VStat : int8_t {
+  kAtLower = 0,
+  kAtUpper = 1,
+  kBasic = 2,
+};
+
 struct Problem {
   int m = 0;  // rows
   int n = 0;  // structural columns
-  // CSC of A (structurals only)
-  std::vector<int> col_ptr, row_ind;
+  std::vector<int> col_ptr, row_ind;  // CSC of A (structurals)
   std::vector<double> values;
-  std::vector<double> c;        // n
-  std::vector<double> lo, up;   // n + m (structurals then logicals)
+  std::vector<double> c;       // n
+  std::vector<double> lo, up;  // n + m (structurals then logicals)
 };
 
 class DualSimplex {
  public:
   explicit DualSimplex(const Problem& p) : p_(p), m_(p.m), nt_(p.n + p.m) {}
 
-  int Solve(double time_limit, int iter_limit,
-            const std::atomic<int>* halt, std::vector<double>* x_out,
+  // vstat_in: optional warm start (n+m int8, kBasic count may differ
+  // from m — repaired). x_hint/y_hint: optional crossover point.
+  int Solve(double time_limit, int iter_limit, const volatile int* halt,
+            const int8_t* vstat_in, const double* x_hint,
+            const double* y_hint, std::vector<double>* x_out,
             std::vector<double>* y_out, std::vector<double>* dj_out,
-            int* iters_out) {
+            std::vector<int8_t>* vstat_out, int* iters_out) {
     const auto t0 = std::chrono::steady_clock::now();
-    InitBasis();
-    Refactorize();
-    ComputeDuals();
-    PricePrimal();
+    InitBounds();
+    InitBasis(vstat_in, x_hint, y_hint);
+    if (!Refactorize()) return Finish(kNumerical, 0, x_out, y_out, dj_out,
+                                      vstat_out, iters_out);
+    ComputeXb();
+    if (crash_used_) {
+      // an ill-conditioned crossover crash basis shows up as absurd
+      // basic values: fall back to the slack basis, keeping the
+      // PDLP-derived nonbasic placements (still a warm start)
+      double mx = 0.0;
+      for (int i = 0; i < m_; ++i) mx = std::max(mx, std::fabs(xb_[i]));
+      if (!(mx < 1e12)) {
+        std::fill(in_basis_.begin(), in_basis_.end(), 0);
+        for (int j = 0; j < nt_; ++j) {
+          at_lower_[j] = pref_lower_[j];
+          at_upper_[j] = !pref_lower_[j];
+        }
+        for (int i = 0; i < m_; ++i) {
+          basis_[i] = p_.n + i;
+          in_basis_[p_.n + i] = 1;
+          at_lower_[p_.n + i] = at_upper_[p_.n + i] = 0;
+        }
+        if (!Refactorize())
+          return Finish(kNumerical, 0, x_out, y_out, dj_out, vstat_out,
+                        iters_out);
+        ComputeXb();
+      }
+    }
+    ComputeDualsAndPrices();
+    RepairDualFeasibility();
+    gamma_.assign(m_, 1.0);
 
     int iter = 0;
     int status = kOptimal;
+    int numerical_retries = 0;
+    std::vector<double> rho(m_), alpha_col(m_), flip_col(m_);
+    std::vector<double> alpha(nt_);
+    std::vector<int> cand;
+    cand.reserve(256);
+
     while (true) {
       if (iter >= iter_limit) { status = kIterLimit; break; }
-      if ((iter & 63) == 0) {
-        if (halt && halt->load(std::memory_order_relaxed)) {
-          status = kHalted; break;
-        }
+      if ((iter & 31) == 0) {
+        if (halt && *halt) { status = kHalted; break; }
         const double el = std::chrono::duration<double>(
             std::chrono::steady_clock::now() - t0).count();
         if (el > time_limit) { status = kTimeLimit; break; }
       }
-      // leaving variable: basic with largest bound violation
+
+      // ---- leaving row: dual Devex, max violation^2 / gamma ----
       int r = -1;
-      double worst = kFeasTol;
-      double dir = 0.0;  // +1: below lower (increase), -1: above upper
+      double best_score = 0.0;
+      double delta = 0.0;  // +1: below lower, -1: above upper
       for (int i = 0; i < m_; ++i) {
         const int j = basis_[i];
         const double v = xb_[i];
-        if (v < p_.lo[j] - kFeasTol && p_.lo[j] - v > worst) {
-          worst = p_.lo[j] - v; r = i; dir = +1.0;
-        } else if (v > p_.up[j] + kFeasTol && v - p_.up[j] > worst) {
-          worst = v - p_.up[j]; r = i; dir = -1.0;
-        }
+        double infeas = 0.0, d = 0.0;
+        if (v < lo_[j] - kFeasTol) { infeas = lo_[j] - v; d = +1.0; }
+        else if (v > up_[j] + kFeasTol) { infeas = v - up_[j]; d = -1.0; }
+        else continue;
+        const double score = infeas * infeas / gamma_[i];
+        if (score > best_score) { best_score = score; r = i; delta = d; }
       }
-      if (r < 0) break;  // primal feasible -> optimal (duals maintained)
+      if (r < 0) {
+        // primal feasible + dual feasible -> optimal, but verify against
+        // a FRESH factorization first: incremental x_B can drift
+        if (lu_.n_updates() > 0) {
+          if (!Refactorize()) { status = kNumerical; break; }
+          ComputeXb();
+          ComputeDualsAndPrices();
+          continue;  // re-scan with exact values
+        }
+        break;
+      }
 
-      // pivot row: alpha = e_r^T B^-1 A_N
-      std::vector<double> rho(m_, 0.0);
-      BtranRow(r, &rho);
-      // dual ratio test over nonbasic columns
-      int q = -1;
-      double best_ratio = kInf;
-      double alpha_q = 0.0;
+      // ---- pivot row: rho = B^-T e_r; alpha'_j = delta * a_j^T rho ----
+      std::fill(rho.begin(), rho.end(), 0.0);
+      rho[r] = 1.0;
+      lu_.Btran(rho);
+      cand.clear();
       for (int j = 0; j < nt_; ++j) {
         if (in_basis_[j]) continue;
-        const double alpha = dir * ColDot(j, rho);
-        // entering must move leaving var toward feasibility:
-        //   at lower bound, increasing x_j helps if alpha < 0
-        //   at upper bound, increasing... handled by sign of dj/alpha
-        double ratio;
-        if (at_lower_[j]) {
-          if (alpha >= -kPivTol) continue;
-          ratio = dj_[j] / (-alpha);
-        } else if (at_upper_[j]) {
-          if (alpha <= kPivTol) continue;
-          ratio = -dj_[j] / alpha;
+        double a;
+        if (j < p_.n) {
+          a = 0.0;
+          for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
+            a += p_.values[k] * rho[p_.row_ind[k]];
         } else {
-          continue;  // free nonbasic handled via big bounds
+          a = -rho[j - p_.n];
         }
-        if (ratio < best_ratio - 1e-12 ||
-            (ratio < best_ratio + 1e-12 &&
-             std::fabs(alpha) > std::fabs(alpha_q))) {
-          best_ratio = ratio;
-          q = j;
-          alpha_q = dir * ColDot(j, rho);
-        }
+        a *= delta;
+        alpha[j] = a;
+        if (at_lower_[j] ? (a < -kPivTol) : (a > kPivTol)) cand.push_back(j);
       }
-      if (q < 0) {
-        if (worst < 1e-6) {
-          // numerically feasible: accept as optimal (degenerate residual)
-          status = kOptimal;
+
+      const int leave = basis_[r];
+      double violation = (delta > 0) ? lo_[leave] - xb_[r]
+                                     : xb_[r] - up_[leave];
+      if (cand.empty()) {
+        if (lu_.n_updates() > 0) {
+          // verify the certificate against a fresh factorization
+          if (!Refactorize()) { status = kNumerical; break; }
+          ComputeXb();
+          ComputeDualsAndPrices();
+          continue;
+        }
+        if (violation < 1e-6) { status = kOptimal; break; }
+        status = kInfeasible;  // dual ray certifies primal infeasibility
+        break;
+      }
+
+      // ---- bound-flipping dual ratio test ----
+      // ratio_j = d_j / (-alpha'_j) >= 0 for every candidate (at lower:
+      // d >= 0, alpha' < 0; at upper: d <= 0, alpha' > 0)
+      std::sort(cand.begin(), cand.end(), [&](int a1, int b1) {
+        const double ra = dj_[a1] / (-alpha[a1]);
+        const double rb = dj_[b1] / (-alpha[b1]);
+        return ra < rb;
+      });
+      int q = -1;
+      std::vector<int> flips;
+      double remaining = violation;
+      for (const int j : cand) {
+        const double span = up_[j] - lo_[j];
+        const double room = std::fabs(alpha[j]) * span;
+        if (!std::isfinite(span) || remaining - room <= kFeasTol) {
+          q = j;
           break;
         }
-        // no entering column: the row certifies primal infeasibility
+        flips.push_back(j);
+        remaining -= room;
+      }
+      if (q < 0) {
+        // every candidate bound-flips and violation remains: dual ray
+        if (lu_.n_updates() > 0) {
+          if (!Refactorize()) { status = kNumerical; break; }
+          ComputeXb();
+          ComputeDualsAndPrices();
+          continue;
+        }
         status = kInfeasible;
         break;
       }
-      if (!Pivot(r, q, dir)) { status = kNumerical; break; }
-      ++iter;
-      if ((iter % refactor_freq_) == 0) {
-        Refactorize();
-        ComputeDuals();
-        PricePrimal();
+      const double theta_d = std::max(0.0, dj_[q] / (-alpha[q]));
+
+      // ---- apply bound flips (batch FTRAN of the combined column) ----
+      if (!flips.empty()) {
+        std::fill(flip_col.begin(), flip_col.end(), 0.0);
+        for (const int j : flips) {
+          const double dx = at_lower_[j] ? (up_[j] - lo_[j])
+                                         : (lo_[j] - up_[j]);
+          if (j < p_.n) {
+            for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
+              flip_col[p_.row_ind[k]] += p_.values[k] * dx;
+          } else {
+            flip_col[j - p_.n] -= dx;
+          }
+          at_lower_[j] ^= 1;
+          at_upper_[j] ^= 1;
+        }
+        lu_.Ftran(flip_col);
+        for (int i = 0; i < m_; ++i) xb_[i] -= flip_col[i];
       }
+
+      // ---- FTRAN entering column ----
+      std::fill(alpha_col.begin(), alpha_col.end(), 0.0);
+      if (q < p_.n) {
+        for (int k = p_.col_ptr[q]; k < p_.col_ptr[q + 1]; ++k)
+          alpha_col[p_.row_ind[k]] = p_.values[k];
+      } else {
+        alpha_col[q - p_.n] = -1.0;
+      }
+      lu_.Ftran(alpha_col);
+      const double ar = alpha_col[r];
+      if (std::fabs(ar) < kPivTol) {
+        // numerically unusable pivot: refactorize and retry the row
+        if (++numerical_retries > 16 || !Refactorize()) {
+          status = kNumerical;
+          break;
+        }
+        ComputeXb();
+        ComputeDualsAndPrices();
+        continue;
+      }
+      numerical_retries = 0;
+
+      // ---- primal step ----
+      const double target = (delta > 0) ? lo_[leave] : up_[leave];
+      const double t = (xb_[r] - target) / ar;
+      for (int i = 0; i < m_; ++i) xb_[i] -= t * alpha_col[i];
+      const double enter_from = at_lower_[q] ? lo_[q] : up_[q];
+
+      // ---- dual update: d_j += theta_d * alpha'_j; y -= theta_d*δ*rho
+      // (keeps reported duals exact between refactorizations) ----
+      if (theta_d != 0.0) {
+        for (int j = 0; j < nt_; ++j) {
+          if (!in_basis_[j]) dj_[j] += theta_d * alpha[j];
+        }
+        for (int i = 0; i < m_; ++i) y_[i] -= theta_d * delta * rho[i];
+      }
+      dj_[q] = 0.0;
+      dj_[leave] = theta_d * delta;
+
+      // ---- Devex weights (dual Forrest–Goldfarb approximation) ----
+      const double gr = std::max(gamma_[r] / (ar * ar), 1.0);
+      for (int i = 0; i < m_; ++i) {
+        if (i == r || alpha_col[i] == 0.0) continue;
+        const double w = (alpha_col[i] / ar) * (alpha_col[i] / ar) *
+                         gamma_[r];
+        if (w > gamma_[i]) gamma_[i] = w;
+      }
+      gamma_[r] = gr;
+      if (gr > 1e8) gamma_.assign(m_, 1.0);
+
+      if (std::getenv("DS_DEBUG") && (iter % 100) == 0) {
+        double mx = 0;
+        for (int i = 0; i < m_; ++i) mx = std::max(mx, std::fabs(xb_[i]));
+        std::fprintf(stderr,
+                     "[ds] it=%d viol=%.3e theta_d=%.3e t=%.3e ar=%.3e "
+                     "flips=%zu max|xb|=%.3e etas=%d\n",
+                     iter, violation, theta_d, t, ar, flips.size(), mx,
+                     lu_.n_updates());
+      }
+      // ---- basis exchange ----
+      in_basis_[leave] = 0;
+      at_lower_[leave] = (delta > 0) ? 1 : 0;
+      at_upper_[leave] = (delta > 0) ? 0 : 1;
+      in_basis_[q] = 1;
+      at_lower_[q] = at_upper_[q] = 0;
+      basis_[r] = q;
+      xb_[r] = enter_from + t;
+
+      if (!lu_.Update(r, alpha_col) ||
+          lu_.n_updates() >= kRefactorFreq) {
+        if (!Refactorize()) { status = kNumerical; break; }
+        ComputeXb();
+        ComputeDualsAndPrices();
+      }
+      ++iter;
     }
-    if (iters_out) *iters_out = iter;
-    Extract(x_out, y_out, dj_out);
-    if (status == kOptimal && used_big_bounds_ && BigBoundActive()) {
-      status = kUnbounded;  // artificial bound is active at optimum
-    }
-    return status;
+    return Finish(status, iter, x_out, y_out, dj_out, vstat_out,
+                  iters_out);
   }
 
  private:
-  // column j of [A -I]
-  double ColDot(int j, const std::vector<double>& rho) const {
-    if (j < p_.n) {
-      double s = 0.0;
-      for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
-        s += p_.values[k] * rho[p_.row_ind[k]];
-      return s;
-    }
-    return -rho[j - p_.n];
-  }
-
-  void ScatterCol(int j, std::vector<double>* out) const {
-    std::fill(out->begin(), out->end(), 0.0);
-    if (j < p_.n) {
-      for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
-        (*out)[p_.row_ind[k]] = p_.values[k];
-    } else {
-      (*out)[j - p_.n] = -1.0;
-    }
-  }
-
-  void InitBasis() {
-    basis_.resize(m_);
-    in_basis_.assign(nt_, 0);
-    at_lower_.assign(nt_, 0);
-    at_upper_.assign(nt_, 0);
+  void InitBounds() {
     lo_ = p_.lo;
     up_ = p_.up;
     used_big_bounds_ = false;
-    for (int j = 0; j < p_.n; ++j) {
-      if (!std::isfinite(lo_[j]) && !std::isfinite(up_[j])) {
-        lo_[j] = -kBig; up_[j] = kBig;
-        used_big_bounds_ = true;
-      } else if (!std::isfinite(lo_[j]) && p_.c[j] > kDualTol) {
-        lo_[j] = -kBig; used_big_bounds_ = true;
-      } else if (!std::isfinite(up_[j]) && p_.c[j] < -kDualTol) {
-        up_[j] = kBig; used_big_bounds_ = true;
+  }
+
+  void InitBasis(const int8_t* vstat_in, const double* x_hint,
+                 const double* y_hint) {
+    basis_.assign(m_, 0);
+    in_basis_.assign(nt_, 0);
+    at_lower_.assign(nt_, 0);
+    at_upper_.assign(nt_, 0);
+
+    if (vstat_in != nullptr) {
+      // warm basis: honor kBasic rows up to m, fill the rest with slacks
+      int nb = 0;
+      std::vector<uint8_t> row_used(m_, 0);
+      for (int j = 0; j < nt_ && nb < m_; ++j) {
+        if (vstat_in[j] == kBasic) {
+          basis_[nb++] = j;
+          in_basis_[j] = 1;
+        }
       }
-      // dual-feasible placement: cost >= 0 -> lower, cost < 0 -> upper
-      if (p_.c[j] >= 0) {
-        if (std::isfinite(lo_[j])) at_lower_[j] = 1; else at_upper_[j] = 1;
-      } else {
-        if (std::isfinite(up_[j])) at_upper_[j] = 1; else at_lower_[j] = 1;
+      for (int j = 0; j < nt_; ++j) {
+        if (in_basis_[j]) continue;
+        if (vstat_in[j] == kAtUpper && std::isfinite(up_[j]))
+          at_upper_[j] = 1;
+        else if (std::isfinite(lo_[j]))
+          at_lower_[j] = 1;
+        else if (std::isfinite(up_[j]))
+          at_upper_[j] = 1;
+        else
+          at_lower_[j] = 1;  // free: big bounds below
+      }
+      for (int i = nb; i < m_; ++i) {
+        // complete with unused logicals
+        for (int k = 0; k < m_; ++k) {
+          if (!in_basis_[p_.n + k]) {
+            basis_[i] = p_.n + k;
+            in_basis_[p_.n + k] = 1;
+            at_lower_[p_.n + k] = at_upper_[p_.n + k] = 0;
+            break;
+          }
+        }
+      }
+    } else if (y_hint != nullptr) {
+      // crossover crash (reference crossover.hpp:38 — push the interior
+      // PDLP point to a vertex): variables where the PDLP point is
+      // INTERIOR become basic (most-interior first; rank deficiency is
+      // repaired by the LU with slack swaps), so the crash duals
+      // approximate y* and the dual simplex starts near-optimal.
+      // Nonbasic placement: sign of d* = c - A^T y*, ties toward the
+      // bound nearer to the PDLP value.
+      std::vector<double> z(nt_, 0.0);  // PDLP value of every column
+      if (x_hint != nullptr) {
+        for (int j = 0; j < p_.n; ++j) {
+          z[j] = x_hint[j];
+          for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
+            z[p_.n + p_.row_ind[k]] += p_.values[k] * x_hint[j];
+        }
+      }
+      std::vector<double> dstar(nt_);
+      for (int j = 0; j < p_.n; ++j) {
+        double d = p_.c[j];
+        for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
+          d -= p_.values[k] * y_hint[p_.row_ind[k]];
+        dstar[j] = d;
+      }
+      for (int i = 0; i < m_; ++i) dstar[p_.n + i] = y_hint[i];
+      // interiorness: distance of the PDLP value to its nearest bound.
+      // The PDLP point is only ~1e-4 accurate, so "interior" must clear
+      // the solver fuzz (relative threshold), and a basic candidate must
+      // also look dual-degenerate (|d*| small) — a column with a clearly
+      // nonzero reduced cost is nonbasic at every optimum.
+      std::vector<std::pair<double, int>> rank;
+      rank.reserve(nt_);
+      if (x_hint != nullptr) {
+        for (int j = 0; j < nt_; ++j) {
+          const double dlo = std::isfinite(lo_[j]) ? z[j] - lo_[j] : kBig;
+          const double dup = std::isfinite(up_[j]) ? up_[j] - z[j] : kBig;
+          const double interior = std::min(dlo, dup);
+          const double fuzz = 1e-3 * (1.0 + std::fabs(z[j]));
+          const double dtol =
+              1e-3 * (1.0 + (j < p_.n ? std::fabs(p_.c[j]) : 0.0));
+          if (interior > fuzz && std::fabs(dstar[j]) < dtol)
+            rank.emplace_back(-interior, j);
+        }
+        std::sort(rank.begin(), rank.end());
+      }
+      // preferred placement of EVERY column by d* sign (kept for the
+      // ill-conditioned-crash fallback in Solve)
+      pref_lower_.assign(nt_, 1);
+      for (int j = 0; j < nt_; ++j) {
+        const double d = dstar[j];
+        bool to_lower;
+        if (d > kDualTol) to_lower = true;
+        else if (d < -kDualTol) to_lower = false;
+        else if (x_hint != nullptr && std::isfinite(lo_[j]) &&
+                 std::isfinite(up_[j]))
+          to_lower = (z[j] - lo_[j] <= up_[j] - z[j]);
+        else to_lower = std::isfinite(lo_[j]);
+        pref_lower_[j] = (to_lower && std::isfinite(lo_[j])) ||
+                         !std::isfinite(up_[j]);
+      }
+      crash_used_ = true;
+      int nb = 0;
+      for (const auto& e : rank) {
+        if (nb >= m_) break;
+        basis_[nb++] = e.second;
+        in_basis_[e.second] = 1;
+      }
+      for (int i = 0; i < m_ && nb < m_; ++i) {
+        if (!in_basis_[p_.n + i]) {
+          basis_[nb++] = p_.n + i;
+          in_basis_[p_.n + i] = 1;
+        }
+      }
+      for (int j = 0; j < nt_; ++j) {
+        if (in_basis_[j]) continue;
+        if (pref_lower_[j]) at_lower_[j] = 1;
+        else at_upper_[j] = 1;
+      }
+    } else {
+      // cold start: dual-feasible placement by cost sign
+      for (int j = 0; j < p_.n; ++j) {
+        if (p_.c[j] >= 0) {
+          if (std::isfinite(lo_[j])) at_lower_[j] = 1;
+          else at_upper_[j] = 1;
+        } else {
+          if (std::isfinite(up_[j])) at_upper_[j] = 1;
+          else at_lower_[j] = 1;
+        }
+      }
+      for (int i = 0; i < m_; ++i) {
+        basis_[i] = p_.n + i;
+        in_basis_[p_.n + i] = 1;
       }
     }
-    for (int i = 0; i < m_; ++i) {
-      const int j = p_.n + i;
-      basis_[i] = j;
-      in_basis_[j] = 1;
+    // any nonbasic without a finite bound on its placed side gets a
+    // temporary big bound (flagged)
+    for (int j = 0; j < nt_; ++j) {
+      if (in_basis_[j]) continue;
+      if (at_lower_[j] && !std::isfinite(lo_[j])) {
+        lo_[j] = -kBig;
+        used_big_bounds_ = true;
+      }
+      if (at_upper_[j] && !std::isfinite(up_[j])) {
+        up_[j] = kBig;
+        used_big_bounds_ = true;
+      }
     }
   }
 
-  void Refactorize() {
-    // binv_ = inverse of B (dense Gauss-Jordan with partial pivoting)
-    binv_.assign(m_ * m_, 0.0);
-    std::vector<double> B(m_ * m_, 0.0);
-    std::vector<double> col(m_);
-    for (int i = 0; i < m_; ++i) {
-      ScatterCol(basis_[i], &col);
-      for (int r = 0; r < m_; ++r) B[r * m_ + i] = col[r];
-      binv_[i * m_ + i] = 1.0;
-    }
-    for (int k = 0; k < m_; ++k) {
-      int piv = k;
-      for (int r = k + 1; r < m_; ++r)
-        if (std::fabs(B[r * m_ + k]) > std::fabs(B[piv * m_ + k])) piv = r;
-      if (std::fabs(B[piv * m_ + k]) < kPivTol) continue;  // singular-ish
-      if (piv != k) {
-        for (int c2 = 0; c2 < m_; ++c2) {
-          std::swap(B[k * m_ + c2], B[piv * m_ + c2]);
-          std::swap(binv_[k * m_ + c2], binv_[piv * m_ + c2]);
+  bool Refactorize() {
+    for (int attempt = 0; attempt < 8; ++attempt) {
+      BasisColumns B;
+      B.ptr.assign(m_ + 1, 0);
+      for (int i = 0; i < m_; ++i) {
+        const int j = basis_[i];
+        B.ptr[i + 1] = B.ptr[i] +
+            (j < p_.n ? p_.col_ptr[j + 1] - p_.col_ptr[j] : 1);
+      }
+      B.ind.resize(B.ptr[m_]);
+      B.val.resize(B.ptr[m_]);
+      for (int i = 0; i < m_; ++i) {
+        const int j = basis_[i];
+        int w = B.ptr[i];
+        if (j < p_.n) {
+          for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k) {
+            B.ind[w] = p_.row_ind[k];
+            B.val[w] = p_.values[k];
+            ++w;
+          }
+        } else {
+          B.ind[w] = j - p_.n;
+          B.val[w] = -1.0;
         }
       }
-      const double d = 1.0 / B[k * m_ + k];
-      for (int c2 = 0; c2 < m_; ++c2) {
-        B[k * m_ + c2] *= d;
-        binv_[k * m_ + c2] *= d;
-      }
-      for (int r = 0; r < m_; ++r) {
-        if (r == k) continue;
-        const double f = B[r * m_ + k];
-        if (f == 0.0) continue;
-        for (int c2 = 0; c2 < m_; ++c2) {
-          B[r * m_ + c2] -= f * B[k * m_ + c2];
-          binv_[r * m_ + c2] -= f * binv_[k * m_ + c2];
+      std::vector<int> replaced, repl_row;
+      if (lu_.Factorize(B, m_, &replaced, &repl_row)) return true;
+      // rank repair: evicted columns become nonbasic at a finite bound;
+      // fresh slack columns enter (reference initial_basis.cpp repair)
+      for (size_t t = 0; t < replaced.size(); ++t) {
+        const int pos = replaced[t];
+        const int out = basis_[pos];
+        const int slack = p_.n + repl_row[t];
+        in_basis_[out] = 0;
+        if (std::isfinite(lo_[out])) at_lower_[out] = 1;
+        else if (std::isfinite(up_[out])) at_upper_[out] = 1;
+        else {
+          lo_[out] = -kBig;
+          used_big_bounds_ = true;
+          at_lower_[out] = 1;
         }
+        // the replacement slack may be nonbasic: pull it in
+        in_basis_[slack] = 1;
+        at_lower_[slack] = at_upper_[slack] = 0;
+        basis_[pos] = slack;
       }
+      if (replaced.empty()) return false;  // genuine failure
     }
-    ComputeXb();
+    return false;
   }
 
   void ComputeXb() {
-    // x_B = B^-1 (0 - N x_N)   (rhs of [A -I] z = 0 is 0)
+    // x_B = B^-1 (0 - N x_N)
     std::vector<double> rhs(m_, 0.0);
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
@@ -258,32 +550,30 @@ class DualSimplex {
         rhs[j - p_.n] += v;
       }
     }
-    xb_.assign(m_, 0.0);
-    for (int i = 0; i < m_; ++i) {
-      double s = 0.0;
-      for (int k = 0; k < m_; ++k) s += binv_[i * m_ + k] * rhs[k];
-      xb_[i] = s;
-    }
+    lu_.Ftran(rhs);
+    xb_ = rhs;
   }
 
-  void ComputeDuals() {
-    // y^T = c_B^T B^-1
+  void ComputeDualsAndPrices() {
     y_.assign(m_, 0.0);
     for (int i = 0; i < m_; ++i) {
       const int j = basis_[i];
-      const double cb = (j < p_.n) ? p_.c[j] : 0.0;
-      if (cb == 0.0) continue;
-      for (int k = 0; k < m_; ++k) y_[k] += cb * binv_[i * m_ + k];
+      if (j < p_.n) y_[i] = p_.c[j];
     }
-  }
-
-  void PricePrimal() {
+    // y holds c_B in basis-position order; but Btran wants row-space rhs.
+    // c_B is indexed by basis POSITION and B^T y = c_B couples position k
+    // to row ... — Btran solves B^T y = c where c is given by basis
+    // position? No: (B^T y)_k = column k of B dot y = c_B[k]. Our Btran
+    // takes the right-hand side indexed by basis position via the
+    // column ordering: pass c_B as a vector indexed by position.
+    lu_.Btran(y_);
     dj_.assign(nt_, 0.0);
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
+      double s;
       double cj = (j < p_.n) ? p_.c[j] : 0.0;
-      double s = 0.0;
       if (j < p_.n) {
+        s = 0.0;
         for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
           s += p_.values[k] * y_[p_.row_ind[k]];
       } else {
@@ -293,48 +583,39 @@ class DualSimplex {
     }
   }
 
-  void BtranRow(int r, std::vector<double>* rho) const {
-    for (int k = 0; k < m_; ++k) (*rho)[k] = binv_[r * m_ + k];
-  }
-
-  bool Pivot(int r, int q, double dir) {
-    // alpha column: B^-1 a_q
-    std::vector<double> aq(m_), alpha(m_);
-    ScatterCol(q, &aq);
-    for (int i = 0; i < m_; ++i) {
-      double s = 0.0;
-      for (int k = 0; k < m_; ++k) s += binv_[i * m_ + k] * aq[k];
-      alpha[i] = s;
+  // Dual feasibility repair: a nonbasic at the wrong bound for its
+  // reduced-cost sign is flipped to the other bound when finite; when
+  // infinite it gets a temporary big bound on the required side.
+  void RepairDualFeasibility() {
+    for (int j = 0; j < nt_; ++j) {
+      if (in_basis_[j]) continue;
+      if (at_lower_[j] && dj_[j] < -kDualTol) {
+        if (std::isfinite(up_[j])) {
+          at_lower_[j] = 0;
+          at_upper_[j] = 1;
+        } else {
+          up_[j] = kBig;
+          used_big_bounds_ = true;
+          at_lower_[j] = 0;
+          at_upper_[j] = 1;
+        }
+      } else if (at_upper_[j] && dj_[j] > kDualTol) {
+        if (std::isfinite(lo_[j])) {
+          at_upper_[j] = 0;
+          at_lower_[j] = 1;
+        } else {
+          lo_[j] = -kBig;
+          used_big_bounds_ = true;
+          at_upper_[j] = 0;
+          at_lower_[j] = 1;
+        }
+      }
     }
-    if (std::fabs(alpha[r]) < kPivTol) return false;
-    const int leave = basis_[r];
-    // leaving variable goes to the violated bound
-    in_basis_[leave] = 0;
-    if (dir > 0) { at_lower_[leave] = 1; at_upper_[leave] = 0; }
-    else { at_upper_[leave] = 1; at_lower_[leave] = 0; }
-    in_basis_[q] = 1;
-    at_lower_[q] = at_upper_[q] = 0;
-    basis_[r] = q;
-    // product-form update of binv_: row r scaled, others eliminated
-    const double pr = 1.0 / alpha[r];
-    for (int k = 0; k < m_; ++k) binv_[r * m_ + k] *= pr;
-    for (int i = 0; i < m_; ++i) {
-      if (i == r) continue;
-      const double f = alpha[i];
-      if (f == 0.0) continue;
-      for (int k = 0; k < m_; ++k)
-        binv_[i * m_ + k] -= f * binv_[r * m_ + k];
-    }
-    ComputeXb();
-    // dual update: recompute (dense m^2; fine at these sizes)
-    ComputeDuals();
-    PricePrimal();
-    return true;
+    ComputeXb();  // placements changed
   }
 
   bool BigBoundActive() const {
     for (int i = 0; i < m_; ++i) {
-      const int j = basis_[i];
       if (std::fabs(std::fabs(xb_[i]) - kBig) < 1e-3) return true;
     }
     for (int j = 0; j < nt_; ++j) {
@@ -345,45 +626,58 @@ class DualSimplex {
     return false;
   }
 
-  void Extract(std::vector<double>* x_out, std::vector<double>* y_out,
-               std::vector<double>* dj_out) {
+  int Finish(int status, int iter, std::vector<double>* x_out,
+             std::vector<double>* y_out, std::vector<double>* dj_out,
+             std::vector<int8_t>* vstat_out, int* iters_out) {
+    if (iters_out) *iters_out = iter;
+    // map y back to ROW space: Btran produced y indexed by row already
     std::vector<double> z(nt_, 0.0);
     for (int j = 0; j < nt_; ++j)
       if (!in_basis_[j]) z[j] = at_upper_[j] ? up_[j] : lo_[j];
     for (int i = 0; i < m_; ++i) z[basis_[i]] = xb_[i];
     x_out->assign(z.begin(), z.begin() + p_.n);
     *y_out = y_;
-    dj_out->assign(p_.n, 0.0);
-    for (int j = 0; j < p_.n; ++j) (*dj_out)[j] = dj_[j];
+    dj_out->assign(dj_.begin(), dj_.begin() + p_.n);
+    if (vstat_out) {
+      vstat_out->assign(nt_, kAtLower);
+      for (int j = 0; j < nt_; ++j) {
+        if (in_basis_[j]) (*vstat_out)[j] = kBasic;
+        else if (at_upper_[j]) (*vstat_out)[j] = kAtUpper;
+      }
+    }
+    if (status == kOptimal && used_big_bounds_ && BigBoundActive())
+      return kUnbounded;
+    return status;
   }
 
   const Problem& p_;
   int m_, nt_;
+  SparseLU lu_;
   std::vector<int> basis_;
   std::vector<uint8_t> in_basis_, at_lower_, at_upper_;
   std::vector<double> lo_, up_;
-  std::vector<double> binv_, xb_, y_, dj_;
+  std::vector<double> xb_, y_, dj_, gamma_;
+  std::vector<uint8_t> pref_lower_;
+  bool crash_used_ = false;
   bool used_big_bounds_ = false;
-  int refactor_freq_ = 100;  // reference simplex_solver_settings.hpp
 };
 
 }  // namespace tpu_simplex
 
 extern "C" {
 
-// C ABI for ctypes. Returns tpu_simplex::Status. `halt` may be nullptr or
-// point to an int set nonzero to request cooperative cancellation
-// (reference concurrent-LP atomic halt, solve.cu:222).
-int ds_solve(int m, int n,
-             const int64_t* col_ptr, const int64_t* row_ind,
-             const double* values,
-             const double* c,
-             const double* var_lo, const double* var_up,
-             const double* row_lo, const double* row_up,
-             double time_limit, int iter_limit,
-             const int* halt,
-             double* x_out, double* y_out, double* dj_out,
-             double* obj_out, int* iters_out) {
+// Extended C ABI. vstat_in (nullable int8[n+m]): warm basis/placements.
+// x_hint/y_hint (nullable double[n]/double[m]): PDLP crossover point.
+// vstat_out (nullable int8[n+m]): final basis statuses.
+int ds_solve_adv(int m, int n, const int64_t* col_ptr,
+                 const int64_t* row_ind, const double* values,
+                 const double* c, const double* var_lo,
+                 const double* var_up, const double* row_lo,
+                 const double* row_up, double time_limit, int iter_limit,
+                 const int* halt, const int8_t* vstat_in,
+                 const double* x_hint, const double* y_hint,
+                 double* x_out, double* y_out, double* dj_out,
+                 double* obj_out, int* iters_out, int8_t* vstat_out) {
   tpu_simplex::Problem p;
   p.m = m;
   p.n = n;
@@ -401,31 +695,35 @@ int ds_solve(int m, int n,
   }
   tpu_simplex::DualSimplex solver(p);
   std::vector<double> x, y, dj;
+  std::vector<int8_t> vstat;
   int iters = 0;
-  std::atomic<int> halt_flag{0};
-  const std::atomic<int>* halt_ptr = nullptr;
-  // reinterpret user int* as atomic flag via polling copy
-  // (the caller updates the int; we wrap reads)
-  struct HaltView : std::atomic<int> {};
-  int status;
-  if (halt != nullptr) {
-    // NOTE: relies on int loads being atomic on this platform (x86-64)
-    status = solver.Solve(
-        time_limit, iter_limit,
-        reinterpret_cast<const std::atomic<int>*>(halt), &x, &y, &dj,
-        &iters);
-  } else {
-    status = solver.Solve(time_limit, iter_limit, &halt_flag, &x, &y, &dj,
-                          &iters);
-  }
+  const int status = solver.Solve(
+      time_limit, iter_limit,
+      reinterpret_cast<const volatile int*>(halt), vstat_in, x_hint,
+      y_hint, &x, &y, &dj, vstat_out ? &vstat : nullptr, &iters);
   std::memcpy(x_out, x.data(), sizeof(double) * n);
   std::memcpy(y_out, y.data(), sizeof(double) * m);
   std::memcpy(dj_out, dj.data(), sizeof(double) * n);
+  if (vstat_out && !vstat.empty())
+    std::memcpy(vstat_out, vstat.data(), vstat.size());
   double obj = 0.0;
   for (int j = 0; j < n; ++j) obj += c[j] * x[j];
   *obj_out = obj;
   *iters_out = iters;
   return status;
+}
+
+// Original ABI (cold start), kept for compatibility.
+int ds_solve(int m, int n, const int64_t* col_ptr, const int64_t* row_ind,
+             const double* values, const double* c, const double* var_lo,
+             const double* var_up, const double* row_lo,
+             const double* row_up, double time_limit, int iter_limit,
+             const int* halt, double* x_out, double* y_out,
+             double* dj_out, double* obj_out, int* iters_out) {
+  return ds_solve_adv(m, n, col_ptr, row_ind, values, c, var_lo, var_up,
+                      row_lo, row_up, time_limit, iter_limit, halt,
+                      nullptr, nullptr, nullptr, x_out, y_out, dj_out,
+                      obj_out, iters_out, nullptr);
 }
 
 }  // extern "C"

@@ -77,13 +77,44 @@ def load_library():
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int),
     ]
+    # extended entry: warm basis statuses + PDLP crossover hints
+    lib.ds_solve_adv.restype = ctypes.c_int
+    lib.ds_solve_adv.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        ctypes.c_double, ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_void_p,  # vstat_in (int8*) or NULL
+        ctypes.c_void_p,  # x_hint (double*) or NULL
+        ctypes.c_void_p,  # y_hint (double*) or NULL
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_void_p,  # vstat_out (int8*) or NULL
+    ]
     _lib = lib
     return lib
 
 
-def solve_lp_simplex(prob, settings, timer, halt=None):
+def solve_lp_simplex(prob, settings, timer, halt=None, vstat=None,
+                     x_hint=None, y_hint=None, want_vstat=False):
     """Solve with the native dual simplex. Returns the raw solution dict
-    (same schema as PdlpSolver.run)."""
+    (same schema as PdlpSolver.run).
+
+    vstat: optional int8[n+m] warm basis statuses (0 lower / 1 upper /
+    2 basic) from a previous solve (B&B node re-solves). x_hint/y_hint:
+    optional PDLP point for crossover placements (user sense; converted
+    to minimize space here). want_vstat: include final basis statuses in
+    the result under "vstat"."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native simplex library unavailable")
@@ -106,7 +137,23 @@ def solve_lp_simplex(prob, settings, timer, halt=None):
     tl = timer.remaining() if timer is not None else math.inf
     if not math.isfinite(tl):
         tl = 1e18
-    status = lib.ds_solve(
+
+    def _opt_ptr(arr, dtype):
+        if arr is None:
+            return None
+        a = np.ascontiguousarray(arr, dtype)
+        return (a, a.ctypes.data_as(ctypes.c_void_p))
+
+    vstat_in = _opt_ptr(vstat, np.int8)
+    xh = _opt_ptr(x_hint, np.float64)
+    # y hint converted to minimize space (the native core minimizes)
+    yh = _opt_ptr(
+        None if y_hint is None else sign * np.asarray(y_hint, np.float64),
+        np.float64,
+    )
+    vstat_out = np.zeros(n + m, np.int8) if want_vstat else None
+
+    status = lib.ds_solve_adv(
         m, n,
         np.ascontiguousarray(t_off, np.int64),
         np.ascontiguousarray(t_idx, np.int64),
@@ -119,7 +166,12 @@ def solve_lp_simplex(prob, settings, timer, halt=None):
         float(tl),
         int(min(getattr(settings, "iteration_limit", 1 << 30), 1 << 30)),
         halt_ptr,
+        None if vstat_in is None else vstat_in[1],
+        None if xh is None else xh[1],
+        None if yh is None else yh[1],
         x, y, dj, ctypes.byref(obj), ctypes.byref(iters),
+        None if vstat_out is None else
+        vstat_out.ctypes.data_as(ctypes.c_void_p),
     )
     primal_obj = obj.value + sign * prob.objective_offset
     raw = {
@@ -140,4 +192,6 @@ def solve_lp_simplex(prob, settings, timer, halt=None):
         "linf_dual_residual": 0.0,
         "solved_by": "dual_simplex",
     }
+    if vstat_out is not None:
+        raw["vstat"] = vstat_out
     return raw

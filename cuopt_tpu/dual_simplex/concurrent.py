@@ -41,12 +41,10 @@ def run_concurrent(prob, settings, timer):
         finally:
             simplex_done.set()
 
-    # guard: the dense-inverse simplex is for small/medium hosts solves
-    run_simplex = prob.n_constraints <= 2000 and prob.n_variables <= 4000
-    t = None
-    if run_simplex:
-        t = threading.Thread(target=simplex_thread, daemon=True)
-        t.start()
+    # the sparse-LU simplex scales to large hosts solves; race it always
+    # (reference solve.cu:467 runs both legs unconditionally)
+    t = threading.Thread(target=simplex_thread, daemon=True)
+    t.start()
 
     solver = PdlpSolver(prob, settings)
     pdlp_raw = None
@@ -118,6 +116,13 @@ def run_concurrent(prob, settings, timer):
         "linf_dual_residual": float(info["linf_dual_res"]),
         "solved_by": "pdlp",
     }
+    if dev.inv_col_perm is not None:
+        # bandwidth-reordered operator: gather back to user order
+        inv_cp = np.asarray(dev.inv_col_perm)
+        inv_rp = np.asarray(dev.inv_row_perm)
+        raw["primal_solution"] = raw["primal_solution"][inv_cp]
+        raw["dual_solution"] = raw["dual_solution"][inv_rp]
+        raw["reduced_cost"] = raw["reduced_cost"][inv_cp]
     if prob.maximize:
         raw["primal_objective"] = -raw["primal_objective"]
         raw["dual_objective"] = -raw["dual_objective"]

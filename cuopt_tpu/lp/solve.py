@@ -63,6 +63,13 @@ def solve_lp(prob, settings: PDLPSolverSettings | None = None) -> Solution:
                 raw = _run_concurrent(prob, settings, timer)
             else:
                 raw = PdlpSolver(prob, settings).run(timer)
+                if settings.crossover and raw["status"] == \
+                        C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+                    # push the interior point to a vertex (reference
+                    # solve.cu:383-441 crossover after run_pdlp)
+                    from cuopt_tpu.dual_simplex.crossover import crossover
+
+                    raw = crossover(prob, raw, settings, timer)
             sol = Solution(prob, raw)
         if settings.solution_file:
             sol.write_to_sol_file(settings.solution_file)

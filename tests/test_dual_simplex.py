@@ -108,3 +108,104 @@ class TestMethods:
         s.crossover = True
         sol = Solve(p, s)
         assert abs(sol.get_primal_objective() + 464.7531) < 1e-2
+
+
+class TestSparseSimplexScale:
+    """The sparse-LU simplex must handle sizes the old dense-inverse
+    core was gated away from (reference right_looking_lu.cpp scale)."""
+
+    def test_10k_banded_matches_highs(self, native_available):
+        import scipy.sparse as sp
+        from scipy.optimize import linprog
+
+        from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+        from cuopt_tpu.problem.synthetic import generate_lp
+
+        n = m = 6000
+        prob = generate_lp(n, m, 6, seed=5, band=400)
+        raw = solve_lp_simplex(prob, Settings(), Timer(120))
+        assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+        A = sp.csr_matrix(
+            (prob.values, prob.indices, prob.offsets), shape=(n, m)
+        )
+        uc, lc = prob.constraint_upper_bounds, prob.constraint_lower_bounds
+        fin_u, fin_l = np.isfinite(uc), np.isfinite(lc)
+        res = linprog(
+            prob.objective_coefficients * (-1 if prob.maximize else 1),
+            A_ub=sp.vstack([A[fin_u], -A[fin_l]]),
+            b_ub=np.concatenate([uc[fin_u], -lc[fin_l]]),
+            bounds=list(zip(prob.variable_lower_bounds,
+                            prob.variable_upper_bounds)),
+            method="highs",
+        )
+        sign = -1 if prob.maximize else 1
+        assert abs(sign * raw["primal_objective"] - res.fun) < \
+            1e-6 * max(1.0, abs(res.fun))
+
+    def test_warm_basis_resolve_fast(self, native_available):
+        """Re-solving from the optimal basis after a small bound change
+        must take far fewer pivots than from scratch (B&B node path)."""
+        from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+        from cuopt_tpu.problem.synthetic import generate_lp
+
+        prob = generate_lp(800, 1000, 5, seed=3, band=200)
+        raw = solve_lp_simplex(prob, Settings(), Timer(60),
+                               want_vstat=True)
+        assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+        cold_iters = raw["iterations"]
+        # tighten one variable bound slightly and re-solve warm
+        import dataclasses
+
+        ub = prob.variable_upper_bounds.copy()
+        j = int(np.argmax(raw["primal_solution"]))
+        ub[j] = max(prob.variable_lower_bounds[j],
+                    raw["primal_solution"][j] * 0.5)
+        prob2 = dataclasses.replace(prob, variable_upper_bounds=ub)
+        raw2 = solve_lp_simplex(prob2, Settings(), Timer(60),
+                                vstat=raw["vstat"], want_vstat=True)
+        assert raw2["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+        assert raw2["iterations"] <= max(10, cold_iters // 2)
+        # and the warm answer matches a cold solve of the same problem
+        raw3 = solve_lp_simplex(prob2, Settings(), Timer(60))
+        assert abs(raw2["primal_objective"] - raw3["primal_objective"]) \
+            < 1e-6 * max(1.0, abs(raw3["primal_objective"]))
+
+
+class TestCrossover:
+    def test_crossover_consumes_pdlp_point(self, native_available):
+        """Crossover must use the interior point: with near-optimal PDLP
+        duals the simplex needs FAR fewer pivots than a cold solve
+        (reference crossover.hpp:38)."""
+        from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+        from cuopt_tpu.dual_simplex.crossover import crossover
+        from cuopt_tpu.lp.pdlp import PdlpSolver
+        from cuopt_tpu.problem.synthetic import generate_lp
+
+        prob = generate_lp(1500, 1500, 6, seed=5, band=160)
+        s = Settings()
+        s.method = C.CUOPT_METHOD_PDLP
+        s.log_to_console = False
+        pdlp_raw = PdlpSolver(prob, s).run(Timer(120))
+        assert pdlp_raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+
+        cold = solve_lp_simplex(prob, s, Timer(120))
+        crossed = crossover(prob, dict(pdlp_raw), s, Timer(120))
+        assert crossed["solved_by"] == "pdlp+crossover"
+        # exact vertex equality with the cold simplex optimum
+        assert abs(crossed["primal_objective"]
+                   - cold["primal_objective"]) < 1e-6 * max(
+            1.0, abs(cold["primal_objective"]))
+        # and it must be warm: strictly fewer pivots than cold start
+        assert crossed["crossover_iterations"] < cold["iterations"]
+
+    def test_pdlp_method_with_crossover_flag(self, native_available):
+        """settings.crossover on the plain PDLP method must produce a
+        vertex solution (reference solve.cu:383-441)."""
+        p = parse_mps(AFIRO)
+        s = PDLPSolverSettings()
+        s.method = C.CUOPT_METHOD_PDLP
+        s.crossover = True
+        sol = Solve(p, s)
+        assert abs(sol.get_primal_objective() + 464.7531428571428) < 1e-6
+        info = sol.get_additional_termination_information()
+        assert info.get("solved_by") == "pdlp+crossover"

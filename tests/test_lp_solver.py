@@ -366,3 +366,29 @@ def test_methodical1_trust_region_restart_solves_afiro():
     sol = PdlpSolver(prob, settings).run()
     assert sol["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
     assert abs(sol["primal_objective"] - (-464.7531)) < 1e-1
+
+
+class TestBatchSolve:
+    def test_vmapped_batch_matches_sequential(self):
+        """Same-shape LPs run through ONE vmapped PDLP program and agree
+        with per-problem solves (reference cython_solve.cu:264-290)."""
+        from cuopt_tpu.lp.batch import batch_solve
+        from cuopt_tpu.lp.solve import solve_lp
+        from cuopt_tpu.problem.synthetic import generate_lp
+
+        probs = [generate_lp(120, 150, 5, seed=s) for s in range(5)]
+        # one different shape -> exercises the sequential fallback path
+        probs.append(generate_lp(80, 90, 4, seed=99))
+        s = PDLPSolverSettings()
+        s.log_to_console = False
+        sols = batch_solve(probs, s)
+        assert len(sols) == 6
+        for p, sol in zip(probs, sols):
+            ref = solve_lp(p, s)
+            assert abs(sol.get_primal_objective()
+                       - ref.get_primal_objective()) < 1e-2 * max(
+                1.0, abs(ref.get_primal_objective()))
+        info = sols[0].get_additional_termination_information()
+        assert info.get("solved_by") == "pdlp_batch"
+        info5 = sols[5].get_additional_termination_information()
+        assert info5.get("solved_by") != "pdlp_batch"
