@@ -26,7 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuopt_tpu.lp.pdlp import DeviceProblem, SolverState
-from cuopt_tpu.sparse.ops import CsrOp, DenseOp, EllOp
+from cuopt_tpu.sparse.ops import BlockBandOp, CsrOp, DenseOp, EllOp, \
+    PermutedOp
 
 ROW_AXIS = "rows"
 
@@ -39,13 +40,42 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def _shard_operator(op, mesh: Mesh):
-    """Row-partition the operator. Dense: row blocks. ELL: row-ELL arrays
-    row-sharded; the transpose ELL (used for A^T y) gathers from the
-    row-sharded y, which GSPMD resolves with an all-gather — acceptable
-    for the dryrun; the production path is the Pallas block-SpMV kernel."""
+    """Row-partition the operator.
+
+    BlockBandOp (the production path): row slabs partitioned over their
+    ROW-tile axis and transpose slabs over their COLUMN-tile axis — each
+    chip owns a contiguous band of 128-row tiles and computes its slab
+    einsum locally. The operand windows are static slices of the x/y
+    vectors; GSPMD turns the cross-chip window reads into the minimal
+    collective (halo-sized gathers for in-band windows). The tiny CSR
+    spill stays replicated.
+
+    Dense: row blocks. ELL: row-ELL arrays row-sharded; the transpose
+    ELL gathers from the row-sharded y, which GSPMD resolves with an
+    all-gather."""
     row = NamedSharding(mesh, P(ROW_AXIS))
     row2 = NamedSharding(mesh, P(ROW_AXIS, None))
+    row3 = NamedSharding(mesh, P(ROW_AXIS, None, None))
     rep = NamedSharding(mesh, P())
+    if isinstance(op, PermutedOp):
+        return op.replace(
+            inner=_shard_operator(op.inner, mesh),
+            row_perm=jax.device_put(op.row_perm, rep),
+            inv_row_perm=jax.device_put(op.inv_row_perm, rep),
+            col_perm=jax.device_put(op.col_perm, rep),
+            inv_col_perm=jax.device_put(op.inv_col_perm, rep),
+        )
+    if isinstance(op, BlockBandOp):
+        return op.replace(
+            row_slabs=jax.device_put(op.row_slabs, row3),
+            col_slabs=jax.device_put(op.col_slabs, row3),
+            spill_vals=jax.device_put(op.spill_vals, rep),
+            spill_rows=jax.device_put(op.spill_rows, rep),
+            spill_cols=jax.device_put(op.spill_cols, rep),
+            t_spill_vals=jax.device_put(op.t_spill_vals, rep),
+            t_spill_rows=jax.device_put(op.t_spill_rows, rep),
+            t_spill_cols=jax.device_put(op.t_spill_cols, rep),
+        )
     if isinstance(op, DenseOp):
         return DenseOp(mat=jax.device_put(op.mat, row2))
     if isinstance(op, EllOp):

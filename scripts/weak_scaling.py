@@ -1,0 +1,114 @@
+"""Weak-scaling harness for the sharded PDLP (BASELINE.json north star:
+>=80% weak-scaling efficiency at 2+ hosts).
+
+Runs the full PDLP major iteration on a banded LP whose ROW COUNT grows
+proportionally with the device count (constant work per device) and
+reports iterations/s and efficiency vs the 1-device run.
+
+On real multi-chip TPU hardware run it as-is (devices = jax.devices()).
+Without hardware, `--virtual N` simulates N host CPU devices — useful to
+validate the sharding/collective structure, not to measure bandwidth.
+
+Usage:
+    python scripts/weak_scaling.py [--virtual 8] [--rows-per-dev 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="simulate N CPU devices (validation only)")
+    ap.add_argument("--rows-per-dev", type=int, default=8192)
+    ap.add_argument("--band", type=int, default=256)
+    ap.add_argument("--majors", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.virtual and os.environ.get("_WEAK_SCALING_CHILD") != "1":
+        # jax may already be initialized by the interpreter's
+        # sitecustomize; re-exec with the CPU-mesh env to get a clean
+        # N-device backend
+        env = dict(os.environ)
+        env["_WEAK_SCALING_CHILD"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count="
+                    f"{args.virtual} --xla_cpu_multi_thread_eigen=false"
+        ).strip()
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuopt_tpu.lp.hyper_params import PRESETS
+    from cuopt_tpu.lp.pdlp import (
+        StaticCfg,
+        build_device_problem,
+        initial_state,
+        make_major_fn,
+    )
+    from cuopt_tpu.lp.settings import PDLPSolverSettings
+    from cuopt_tpu.parallel import make_mesh, shard_problem_and_state
+    from cuopt_tpu.problem.synthetic import generate_lp
+
+    n_avail = len(jax.devices())
+    settings = PDLPSolverSettings()
+    hp = PRESETS[settings.pdlp_solver_mode]
+    t = settings.tolerances
+    cfg = StaticCfg(
+        hp=hp,
+        abs_primal=t.absolute_primal_tolerance,
+        rel_primal=t.relative_primal_tolerance,
+        abs_dual=t.absolute_dual_tolerance,
+        rel_dual=t.relative_dual_tolerance,
+        abs_gap=t.absolute_gap_tolerance,
+        rel_gap=t.relative_gap_tolerance,
+    )
+    fn = make_major_fn(cfg)
+
+    results = {}
+    n_dev = 1
+    counts = []
+    while n_dev <= n_avail:
+        counts.append(n_dev)
+        n_dev *= 2
+    for nd in counts:
+        n_rows = args.rows_per_dev * nd
+        prob = generate_lp(n_rows, n_rows, 8, seed=123, band=args.band)
+        dev = build_device_problem(prob, hp, jnp.float32, "blockband")
+        state = initial_state(dev, hp, jnp.float32)
+        mesh = make_mesh(nd)
+        dev, state = shard_problem_and_state(dev, state, mesh)
+        state, report = fn(dev, state)  # compile + warm
+        jax.block_until_ready(report["total_steps"])
+        start = int(report["total_steps"])
+        t0 = time.perf_counter()
+        for _ in range(args.majors):
+            state, report = fn(dev, state)
+        jax.block_until_ready(report["total_steps"])
+        dt = time.perf_counter() - t0
+        iters = int(report["total_steps"]) - start
+        results[nd] = iters / dt
+        eff = results[nd] / results[counts[0]]
+        print(json.dumps({
+            "devices": nd, "rows": n_rows,
+            "iters_per_s": round(results[nd], 2),
+            "weak_scaling_efficiency": round(eff, 4),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,187 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+The new-capability axis vs the single-GPU reference (SURVEY.md §2.9):
+constraint rows partitioned across the mesh, GSPMD inserting the
+collectives. These tests assert NUMERICAL EQUALITY between the 1-device
+and 8-device execution of the full PDLP major iteration for every
+production operator, i.e. the sharding is a pure layout change.
+
+This environment's sitecustomize imports jax at interpreter startup
+(locking in the single-chip axon TPU backend before conftest.py can
+override it), so each check runs in a SUBPROCESS with
+JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_CPU8_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "JAX_PLATFORM_NAME": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                 "--xla_cpu_multi_thread_eigen=false",
+    "JAX_COMPILATION_CACHE_DIR": "/tmp/cuopt_tpu_jax_cache",
+    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "0",
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
+}
+
+
+def _run_cpu8(*args, timeout=600):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(_CPU8_ENV)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        env=env, capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, (
+        f"subprocess failed:\nSTDOUT:\n{r.stdout[-3000:]}\n"
+        f"STDERR:\n{r.stderr[-3000:]}"
+    )
+    return r.stdout
+
+
+@pytest.mark.parametrize("kind", ["dense", "ell", "blockband"])
+def test_sharded_major_matches_single_device(kind):
+    out = _run_cpu8("equality", kind)
+    assert "EQUALITY_OK" in out
+
+
+def test_sharded_full_solve_blockband():
+    out = _run_cpu8("fullsolve")
+    assert "FULLSOLVE_OK" in out
+
+
+# ---------------------------------------------------------------- body
+def _cfg():
+    from cuopt_tpu.lp.hyper_params import PRESETS
+    from cuopt_tpu.lp.pdlp import StaticCfg
+    from cuopt_tpu.lp.settings import PDLPSolverSettings
+
+    settings = PDLPSolverSettings()
+    hp = PRESETS[settings.pdlp_solver_mode]
+    t = settings.tolerances
+    return StaticCfg(
+        hp=hp,
+        abs_primal=t.absolute_primal_tolerance,
+        rel_primal=t.relative_primal_tolerance,
+        abs_dual=t.absolute_dual_tolerance,
+        rel_dual=t.relative_dual_tolerance,
+        abs_gap=t.absolute_gap_tolerance,
+        rel_gap=t.relative_gap_tolerance,
+    ), hp
+
+
+def _check_equality(kind):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuopt_tpu.lp.pdlp import (
+        build_device_problem,
+        initial_state,
+        make_major_fn,
+    )
+    from cuopt_tpu.parallel import make_mesh, shard_problem_and_state
+    from cuopt_tpu.problem.synthetic import generate_lp
+    from cuopt_tpu.sparse.ops import BlockBandOp, DenseOp, EllOp
+
+    assert len(jax.devices()) >= 8, jax.devices()
+    expect = {"dense": DenseOp, "ell": EllOp,
+              "blockband": BlockBandOp}[kind]
+    n_rows, n_cols = {
+        "dense": (256, 192),
+        "ell": (1024, 1024),
+        "blockband": (2048, 2048),  # 16 row-tiles = 2 per device
+    }[kind]
+    cfg, hp = _cfg()
+    prob = generate_lp(n_rows, n_cols, 6, seed=3,
+                       band=192 if kind == "blockband" else None)
+    dev = build_device_problem(prob, hp, jnp.float64, kind)
+    assert isinstance(dev.op, expect)
+    state = initial_state(dev, hp, jnp.float64)
+    fn = make_major_fn(cfg)
+
+    s1, r1 = fn(dev, state)
+    s1, r1 = fn(dev, s1)  # two majors: includes a restart decision
+
+    mesh = make_mesh(8)
+    dev_s, state_s = shard_problem_and_state(dev, state, mesh)
+    s8, r8 = fn(dev_s, state_s)
+    s8, r8 = fn(dev_s, s8)
+
+    np.testing.assert_allclose(
+        np.asarray(s1.x), np.asarray(s8.x), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.y), np.asarray(s8.y), rtol=1e-9, atol=1e-9
+    )
+    assert int(s1.total_steps) == int(s8.total_steps)
+    np.testing.assert_allclose(
+        float(r1["kkt_cur"]), float(r8["kkt_cur"]), rtol=1e-8
+    )
+    for key in ("primal_obj", "dual_obj", "l2_primal_res",
+                "l2_dual_res"):
+        np.testing.assert_allclose(
+            float(r1["info_cur"][key]), float(r8["info_cur"][key]),
+            rtol=1e-8, atol=1e-10,
+        )
+    if kind == "blockband":
+        # the slabs must actually be distributed, not replicated
+        shard_shapes = {
+            s.data.shape for s in dev_s.op.row_slabs.addressable_shards
+        }
+        assert all(sh[0] == dev.op.row_slabs.shape[0] // 8
+                   for sh in shard_shapes), shard_shapes
+    print("EQUALITY_OK")
+
+
+def _check_fullsolve():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuopt_tpu.lp.pdlp import (
+        build_device_problem,
+        initial_state,
+        make_major_fn,
+    )
+    from cuopt_tpu.parallel import make_mesh, shard_problem_and_state
+    from cuopt_tpu.problem.synthetic import generate_lp
+
+    cfg, hp = _cfg()
+    prob = generate_lp(2048, 2048, 6, seed=11, band=192)
+    fn = make_major_fn(cfg)
+
+    def run(shard):
+        dev = build_device_problem(prob, hp, jnp.float64, "blockband")
+        state = initial_state(dev, hp, jnp.float64)
+        if shard:
+            mesh = make_mesh(8)
+            dev, state = shard_problem_and_state(dev, state, mesh)
+        report = None
+        for _ in range(200):
+            state, report = fn(dev, state)
+            if bool(report["opt_cur"]) or bool(report["opt_avg"]):
+                return float(report["info_cur"]["primal_obj"]), True
+        return float(report["info_cur"]["primal_obj"]), False
+
+    obj1, done1 = run(False)
+    obj8, done8 = run(True)
+    assert done1 and done8
+    np.testing.assert_allclose(obj1, obj8, rtol=1e-6)
+    print("FULLSOLVE_OK")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "equality":
+        _check_equality(sys.argv[2])
+    elif mode == "fullsolve":
+        _check_fullsolve()
+    else:
+        raise SystemExit(f"unknown mode {mode}")
