@@ -62,6 +62,9 @@ class DataModel:
         self.objectives: list[int] = []
         self.objective_weights: list[float] = []
         self.initial_solutions: list = []
+        # order precedence: order_id -> np.ndarray of preceding order ids
+        # (reference data_model_view.hpp:368 add_order_precedence)
+        self.order_precedence: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------ matrices
     def add_cost_matrix(self, cost_mat, vehicle_type: int = 0):
@@ -213,8 +216,34 @@ class DataModel:
 
     # ----------------------------------------------------------- objective
     def set_objective_function(self, objectives, objective_weights):
-        self.objectives = list(objectives)
+        if len(list(objectives)) != len(list(objective_weights)):
+            raise ValidationError(
+                "objectives and objective_weights must have equal length"
+            )
+        self.objectives = [int(o) for o in objectives]
         self.objective_weights = [float(w) for w in objective_weights]
+
+    # ---------------------------------------------------------- precedence
+    def add_order_precedence(self, order_id, preceding_orders):
+        """Order `order_id` must be scheduled after every order in
+        `preceding_orders` (reference data_model_view.hpp:359-368;
+        circular dependencies rejected at validate())."""
+        order_id = int(order_id)
+        preds = np.asarray(preceding_orders, np.int64).ravel()
+        if order_id < 0 or order_id >= self.n_orders:
+            raise ValidationError(
+                f"precedence order id {order_id} out of range"
+            )
+        if np.any(preds < 0) or np.any(preds >= self.n_orders):
+            raise ValidationError("preceding order id out of range")
+        if np.any(preds == order_id):
+            raise ValidationError(
+                "an order cannot precede itself"
+            )
+        self.order_precedence[order_id] = preds
+
+    def get_order_precedence(self):
+        return dict(self.order_precedence)
 
     def add_initial_solutions(self, vehicle_ids, routes, types, sol_offsets):
         self.initial_solutions.append(
@@ -324,3 +353,23 @@ class DataModel:
                 raise ValidationError(
                     "pickup/delivery pairs must partition the orders"
                 )
+        if self.order_precedence:
+            # reject circular dependencies (reference data_model_view.hpp:
+            # "Currently circular dependencies are not accepted")
+            color = {}  # 0 visiting, 1 done
+
+            def _dfs(o, stack):
+                if color.get(o) == 1:
+                    return
+                if color.get(o) == 0:
+                    raise ValidationError(
+                        "circular order precedence detected at order "
+                        f"{o}"
+                    )
+                color[o] = 0
+                for p in self.order_precedence.get(o, ()):  # noqa: B023
+                    _dfs(int(p), stack)
+                color[o] = 1
+
+            for o in list(self.order_precedence):
+                _dfs(int(o), [])

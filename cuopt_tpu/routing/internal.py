@@ -50,6 +50,16 @@ class RoutingProblem:
     # sorted by `late` (reference data_model_view.hpp add_break_dimension /
     # add_vehicle_break; break locations :195-198)
     breaks: list = field(default=None)
+    # objective weights (reference set_objective_function,
+    # vehicle_routing.py:421): the SEARCH runs on effective matrices
+    # cost_mats = w_cost*raw_cost + w_tt*raw_time already blended by
+    # build_problem; raw matrices kept for per-objective reporting
+    objective_weights: dict = field(default=None)  # Objective -> weight
+    raw_cost_mats: np.ndarray = field(default=None)
+    raw_fixed_cost: np.ndarray = field(default=None)
+    # precedence: list of (order, np.ndarray preds) in SERVE indices
+    # (reference data_model_view.hpp:368)
+    precedence: list = field(default=None)
 
     @property
     def n_serve(self):
@@ -243,6 +253,29 @@ def build_problem(dm) -> RoutingProblem:
     else:
         time_mats = cost_mats.copy()
 
+    # objective weights: default COST=1 (reference vehicle_routing.py:421
+    # "1 is used for COST objective weight and 0 for other weights").
+    # The search optimizes BLENDED arc matrices (drive-time part of
+    # TRAVEL_TIME; service time is solution-invariant, wait time is
+    # approximated by the TW machinery) plus weighted fixed costs/prizes.
+    from cuopt_tpu.routing.assignment import Objective
+
+    raw_cost_mats = cost_mats
+    raw_fixed = dm.vehicle_fixed_costs if dm.vehicle_fixed_costs \
+        is not None else np.zeros(F)
+    if dm.objectives:
+        weights = {Objective(o): w for o, w in
+                   zip(dm.objectives, dm.objective_weights)}
+    else:
+        weights = {Objective.COST: 1.0}
+    w_cost = weights.get(Objective.COST, 0.0)
+    w_tt = weights.get(Objective.TRAVEL_TIME, 0.0)
+    w_vfc = weights.get(Objective.VEHICLE_FIXED_COST,
+                        1.0 if Objective.COST in weights else 0.0)
+    if w_cost != 1.0 or w_tt != 0.0:
+        cost_mats = w_cost * raw_cost_mats + w_tt * time_mats
+    eff_fixed = raw_fixed * w_vfc
+
     veh_start = dm.vehicle_start if dm.vehicle_start is not None \
         else np.zeros(F, np.int64)
     veh_return = dm.vehicle_return if dm.vehicle_return is not None \
@@ -349,17 +382,31 @@ def build_problem(dm) -> RoutingProblem:
         for v in range(F):
             breaks[v].sort(key=lambda b: (b["late"], b["early"]))
 
+    precedence = None
+    if getattr(dm, "order_precedence", None):
+        orig_to_serve = {int(o): i for i, o in enumerate(serve)}
+        precedence = []
+        for o, preds in dm.order_precedence.items():
+            oi = orig_to_serve.get(int(o))
+            pis = np.array([orig_to_serve[int(p)] for p in preds
+                            if int(p) in orig_to_serve], np.int64)
+            if oi is not None and len(pis):
+                precedence.append((oi, pis))
+
+    prize_w = weights.get(Objective.PRIZE,
+                          1.0 if Objective.COST in weights else 0.0)
+    prizes = None if dm.order_prizes is None \
+        else dm.order_prizes[serve] * (prize_w if dm.objectives else 1.0)
+
     return RoutingProblem(
         n_locations=L, n_fleet=F,
         serve_orders=serve, order_loc=order_loc,
         demand=demand, capacity=capacity,
         tw_early=tw_early, tw_late=tw_late, service=service,
-        prizes=None if dm.order_prizes is None
-        else dm.order_prizes[serve],
+        prizes=prizes,
         veh_type=veh_type, veh_start=veh_start, veh_return=veh_return,
         veh_tw_early=veh_tw_early, veh_tw_late=veh_tw_late,
-        veh_fixed_cost=dm.vehicle_fixed_costs
-        if dm.vehicle_fixed_costs is not None else np.zeros(F),
+        veh_fixed_cost=eff_fixed,
         veh_max_cost=dm.vehicle_max_costs
         if dm.vehicle_max_costs is not None else np.full(F, INF),
         veh_max_time=dm.vehicle_max_times
@@ -372,4 +419,39 @@ def build_problem(dm) -> RoutingProblem:
         pd_partner=pd_partner, pd_sign=pd_sign,
         allowed_vehicles=allowed,
         breaks=breaks,
+        objective_weights=weights,
+        raw_cost_mats=raw_cost_mats,
+        raw_fixed_cost=raw_fixed,
+        precedence=precedence,
     )
+
+
+def order_arrival_times(prob: RoutingProblem, routes: dict) -> np.ndarray:
+    """Service-start time of every serve order in the solution (-inf for
+    unassigned). Used by the cross-route precedence check."""
+    arr = np.full(prob.n_serve, -INF)
+    for v, r in routes.items():
+        if not r:
+            continue
+        plan = prob.route_plan(v, r)
+        for o, a in zip(r, plan["arrivals"]):
+            arr[o] = a
+    return arr
+
+
+def precedence_ok(prob: RoutingProblem, routes: dict,
+                  unassigned=()) -> bool:
+    """Cross-route temporal precedence: every order with precedence must
+    start service no earlier than each of its preceding orders; a served
+    order with an UNSERVED predecessor is infeasible (reference
+    data_model_view.hpp:359-368 'scheduled prior')."""
+    if not prob.precedence:
+        return True
+    arr = order_arrival_times(prob, routes)
+    for o, preds in prob.precedence:
+        if arr[o] == -INF:
+            continue  # o itself unserved: nothing to order
+        for p in preds:
+            if arr[int(p)] == -INF or arr[int(p)] > arr[o] + 1e-9:
+                return False
+    return True

@@ -69,11 +69,12 @@ def _apply_move(routes, kind, mv):
 
 def _needs_exact_recheck(prob) -> bool:
     """The jitted move evaluator scores TW/capacity/match constraints but
-    not breaks, per-vehicle max cost/time, or skip-first/drop-return arc
-    pricing; those need a host re-check of each applied move."""
+    not breaks, per-vehicle max cost/time, skip-first/drop-return arc
+    pricing, or cross-route precedence; those need a host re-check of
+    each applied move."""
     import numpy as np
 
-    return bool(prob.breaks) or bool(
+    return bool(prob.breaks) or bool(prob.precedence) or bool(
         np.any(np.isfinite(prob.veh_max_cost))
         or np.any(np.isfinite(prob.veh_max_time))
         or np.any(prob.skip_first)
@@ -131,12 +132,67 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
                     prob.route_feasible(v, cand[v]) for v in {va, vb}
                 ):
                     continue  # skip this move, keep scanning candidates
+                if prob.precedence:
+                    from cuopt_tpu.routing.internal import precedence_ok
+
+                    if not precedence_ok(prob, cand):
+                        continue
             routes = cand
             touched.update((va, vb))
             applied += 1
         if applied == 0:
             break
     return routes
+
+
+def _enforce_precedence(prob, routes, unassigned, rng, max_rounds=10):
+    """Repair cross-route precedence violations: pull each violating
+    order (and its PD partner) out, greedily reinsert (typically at a
+    later position/route), re-check; orders that cannot be scheduled
+    after their predecessors end up unassigned (reference
+    data_model_view.hpp:359-368)."""
+    from cuopt_tpu.routing.construction import greedy_reinsert
+    from cuopt_tpu.routing.internal import (
+        order_arrival_times,
+        precedence_ok,
+    )
+
+    if not prob.precedence:
+        return routes, unassigned
+    unassigned = list(unassigned)
+    for round_no in range(max_rounds):
+        if precedence_ok(prob, routes):
+            return routes, unassigned
+        arr = order_arrival_times(prob, routes)
+        violators = []
+        for o, preds in prob.precedence:
+            if arr[o] == -math.inf:
+                continue
+            for p in preds:
+                if arr[int(p)] == -math.inf or \
+                        arr[int(p)] > arr[o] + 1e-9:
+                    violators.append(o)
+                    break
+        if not violators:
+            return routes, unassigned
+        pulled = set(violators)
+        if prob.pd_partner is not None:
+            for o in violators:
+                pr = int(prob.pd_partner[o])
+                if pr >= 0:
+                    pulled.add(pr)
+        routes = {
+            v: [o for o in r if o not in pulled]
+            for v, r in routes.items()
+        }
+        if round_no < max_rounds - 1:
+            routes, left = greedy_reinsert(
+                prob, routes, sorted(pulled), rng
+            )
+            unassigned.extend(left)
+        else:
+            unassigned.extend(sorted(pulled))
+    return routes, sorted(set(unassigned))
 
 
 def Solve(data_model, solver_settings: SolverSettings | None = None):
@@ -173,6 +229,8 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
         )
     if routes is None:
         routes, unassigned = cheapest_insertion(prob)
+    routes, unassigned = _enforce_precedence(prob, routes, unassigned,
+                                             rng)
     routes = _local_search(prob, lsp, routes, timer)
 
     from cuopt_tpu.routing.diversity import (
@@ -194,6 +252,8 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
         budget_s=0.25 * max(timer.remaining(), 0.0),
         target=data_model.min_vehicles or 0,
     )
+    routes, unassigned = _enforce_precedence(prob, routes, unassigned,
+                                             rng)
     routes = _local_search(prob, lsp, routes, timer)
 
     if prob.prizes is not None:
@@ -219,6 +279,7 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
         if child is None:
             child = ruin_recreate(prob, pa, rng)
         routes, un2 = child
+        routes, un2 = _enforce_precedence(prob, routes, un2, rng)
         routes = _local_search(prob, lsp, routes, timer)
         if prob.prizes is not None:
             routes, un2 = prize_filter(prob, routes, un2)
@@ -332,6 +393,10 @@ def _build_assignment(prob, routes, unassigned, timer, dm):
     used = 0
     total_cost = 0.0
     total_time = 0.0
+    raw_cost = 0.0
+    raw_fixed_total = 0.0
+    route_sizes = []
+    route_service = []
     for v in range(prob.n_fleet):
         r = routes.get(v, [])
         if not r:
@@ -341,6 +406,26 @@ def _build_assignment(prob, routes, unassigned, timer, dm):
         cost = plan["cost"]
         arr = plan["arrivals"]
         total_cost += cost
+        route_sizes.append(len(r))
+        route_service.append(float(np.sum(prob.service[r])))
+        # raw (unweighted) cost over the actual visit sequence,
+        # reference Objective.COST semantics
+        ti = prob.type_index[int(prob.veh_type[v])]
+        seq = []
+        if not prob.skip_first[v]:
+            seq.append(int(prob.veh_start[v]))
+        ev = sorted(
+            [(float(a), int(prob.order_loc[o])) for o, a in zip(r, arr)]
+            + [(float(b["start"]), int(b["location"]))
+               for b in plan["breaks"]]
+        )
+        seq.extend(loc for _, loc in ev)
+        if not prob.drop_return[v]:
+            seq.append(int(prob.veh_return[v]))
+        raw_cost += float(sum(
+            prob.raw_cost_mats[ti, a, b] for a, b in zip(seq, seq[1:])
+        ))
+        raw_fixed_total += float(prob.raw_fixed_cost[v])
         start_time = prob.veh_tw_early[v]
         if not prob.skip_first[v]:
             rows.append((
@@ -378,13 +463,49 @@ def _build_assignment(prob, routes, unassigned, timer, dm):
     else:
         status = SolutionStatus.SUCCESS.value
         message = ""
-    objective_values = {Objective.COST: float(total_cost)}
-    if prob.prizes is not None and unassigned:
-        objective_values[Objective.PRIZE] = float(
-            -np.sum(prob.prizes[list(unassigned)])
+    # per-objective values in RAW units (reference assignment objective
+    # breakdown; the optimized scalar is the weight-blended sum)
+    weights = prob.objective_weights or {Objective.COST: 1.0}
+    objective_values = {Objective.COST: float(raw_cost)}
+    if Objective.TRAVEL_TIME in weights:
+        objective_values[Objective.TRAVEL_TIME] = float(total_time)
+    if Objective.VEHICLE_FIXED_COST in weights or raw_fixed_total:
+        objective_values[Objective.VEHICLE_FIXED_COST] = \
+            float(raw_fixed_total)
+    if Objective.VARIANCE_ROUTE_SIZE in weights and route_sizes:
+        mean = np.mean(route_sizes)
+        objective_values[Objective.VARIANCE_ROUTE_SIZE] = float(
+            np.sum((np.asarray(route_sizes) - mean) ** 2)
         )
+    if Objective.VARIANCE_ROUTE_SERVICE_TIME in weights and route_service:
+        mean = np.mean(route_service)
+        objective_values[Objective.VARIANCE_ROUTE_SERVICE_TIME] = float(
+            np.sum((np.asarray(route_service) - mean) ** 2)
+        )
+    if prob.prizes is not None and unassigned:
+        # report in RAW prize units (prob.prizes carries the search
+        # weighting; dm holds the user values)
+        raw_prizes = dm.order_prizes if dm.order_prizes is not None \
+            else prob.prizes
+        objective_values[Objective.PRIZE] = float(-np.sum(
+            raw_prizes[prob.serve_orders[list(unassigned)]]
+        ))
+    eff_weights = dict(weights)
+    # fixed costs ride with COST unless explicitly weighted (matches
+    # build_problem's blending)
+    eff_weights.setdefault(
+        Objective.VEHICLE_FIXED_COST,
+        1.0 if Objective.COST in weights else 0.0,
+    )
+    eff_weights.setdefault(
+        Objective.PRIZE, 1.0 if Objective.COST in weights else 0.0,
+    )
+    total_objective = float(sum(
+        w * objective_values.get(o, 0.0)
+        for o, w in eff_weights.items()
+    ))
     return Assignment(
-        used, float(total_cost), objective_values, df,
+        used, total_objective, objective_values, df,
         status=status, message=message,
         undeliverable_orders=[
             int(prob.serve_orders[o]) for o in unassigned
