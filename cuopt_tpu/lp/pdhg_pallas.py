@@ -1,0 +1,199 @@
+"""Fused PDHG step as a Pallas TPU kernel over BlockBandOp row slabs.
+
+The reference amortizes the PDHG step's kernel launches with ping-pong CUDA
+graphs (cpp/src/linear_programming/utilities/ping_pong_graph.cuh:29;
+pdhg.cu:88-200 does SpMV Ax -> primal projection -> SpMV A^T y -> dual
+update as separate cusparse/thrust launches). On TPU we can go further
+than a graph: because the PDLP dual proximal step is ELEMENTWISE in the
+constraint index, the whole
+
+    Ax_new  ->  y_new = prox(y, Ax~)  ->  A^T y_new
+
+chain is computable in ONE streaming pass over the row slabs of A:
+for each 128-row tile we (a) matvec the tile's dense slab against the
+x window, (b) apply the two-sided dual prox for those 128 rows, and
+(c) immediately accumulate the tile's contribution y_tile^T A_tile into
+an A^T y accumulator held in VMEM. A is read ONCE per PDHG iteration
+instead of twice (row slabs for Ax + col slabs for A^T y), halving HBM
+traffic on the bandwidth-bound hot loop — the TPU analogue of cuOpt's
+"PDHG step at memory speed-of-light" goal (BASELINE.json north star).
+
+Requires the 128-aligned window starts produced by sparse/ops.py
+(_tile_windows): x-window loads and A^T y window accumulations are then
+lane-aligned vector ops. Entries outside the slab windows (spill) are
+handled by the caller in XLA: the Ax spill is computed from x_new BEFORE
+the kernel (y_new needs the full row activity), the A^T y spill from
+y_new AFTER it.
+
+float32 only: TPU VPU/MXU have no native f64; the f64 path keeps the
+XLA matvec/rmatvec pair (lp/pdlp.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget gate: x_new + aty accumulator + slab double-buffer must fit.
+_VMEM_VECTOR_LIMIT = 2 << 20  # max n_cols_pad elements (8 MB of f32)
+
+
+def fused_pass_supported(op, dtype, interpret_ok: bool = True) -> bool:
+    """Whether the fused row-pass kernel can serve this operator/dtype."""
+    from cuopt_tpu.sparse.ops import BlockBandOp
+
+    if not isinstance(op, BlockBandOp):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if op.tile != 128 or any(s % 128 for s in op.row_starts):
+        return False
+    n_cols_pad = _col_pad(op)
+    if n_cols_pad > _VMEM_VECTOR_LIMIT:
+        return False
+    if jax.default_backend() != "tpu" and not interpret_ok:
+        return False
+    return True
+
+
+def _col_pad(op) -> int:
+    W = op.w_row
+    max_end = max((s + W for s in op.row_starts), default=W)
+    return max(max_end, -(-op.n_cols // 128) * 128)
+
+
+def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
+            y_ref, lc_ref, uc_ref,
+            ax_out, y_out, aty_out, *, W):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        aty_out[...] = jnp.zeros_like(aty_out)
+
+    s = pl.multiple_of(starts_ref[t], 128)
+    xw = x_ref[pl.ds(s, W)]        # (W,) lane-aligned window of x_new
+    slab = slab_ref[0]             # (128, W) dense slab of this row tile
+    # VPU form: broadcast-multiply + lane reduce (Mosaic's dot lowering
+    # rejects 1-D operands, and an N=1 MXU GEMV wastes the array anyway)
+    ax_slab = jnp.sum(slab * xw[None, :], axis=1)
+    ax_new = ax_slab + axs_ref[...]  # + out-of-window (spill) activity
+    ax_tilde = 2.0 * ax_new - axo_ref[...]
+    sg = sigma_ref[0]
+    y = y_ref[...]
+    # two-sided dual prox; lc/uc arrive pre-masked (∓1e30 when infinite)
+    y_low = y + sg * (lc_ref[...] - ax_tilde)
+    y_high = y + sg * (uc_ref[...] - ax_tilde)
+    y_new = jnp.where(
+        y_low > 0.0, y_low,
+        jnp.where(y_high < 0.0, y_high, jnp.zeros_like(y)),
+    )
+    ax_out[...] = ax_new
+    y_out[...] = y_new
+    # transpose partial: y_tile^T A_tile accumulated into the x-window
+    part = jnp.sum(slab * y_new[:, None], axis=0)
+    aty_out[pl.ds(s, W)] += part
+
+
+@partial(jax.jit, static_argnames=("T", "W", "n_cols_pad", "interpret"))
+def _row_pass(slabs, starts, sigma, x_pad, ax_old2, ax_spill2, y2,
+              lc2, uc2, *, T, W, n_cols_pad, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, sigma
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 128, W), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_pad, whole
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # ax_old
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # ax_spill
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # y
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # lc masked
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # uc masked
+        ],
+        out_specs=[
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # ax_new
+            pl.BlockSpec((128,), lambda t, *_: (t,)),  # y_new
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # aty accumulator
+        ],
+    )
+    return pl.pallas_call(
+        partial(_kernel, W=W),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T * 128,), jnp.float32),
+            jax.ShapeDtypeStruct((T * 128,), jnp.float32),
+            jax.ShapeDtypeStruct((n_cols_pad,), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * 128 * W,
+            bytes_accessed=T * 128 * W * 4,
+            transcendentals=0,
+        ),
+    )(starts, sigma, slabs, x_pad, ax_old2, ax_spill2, y2, lc2, uc2)
+
+
+def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,
+                   interpret: bool | None = None):
+    """Run the fused Ax -> dual prox -> A^T y pass.
+
+    Args (device f32): op BlockBandOp, x_new (n_cols,), ax_old (n_rows,)
+    full activity at the current iterate, y (n_rows,), lc0m/uc0m masked
+    constraint bounds (∓1e30 where infinite), sigma scalar.
+
+    Returns (ax_new, y_new, aty_new, interaction_raw, dy_dot) with full
+    spill handling (ax spill folded in before the prox; A^T y spill added
+    after). interaction_raw = dy·(ax_new - ax_old) (unsigned by caller).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_rows, n_cols = op.n_rows, op.n_cols
+    T = op.row_slabs.shape[0]
+    W = op.w_row
+    n_cols_pad = _col_pad(op)
+
+    # Ax spill from x_new (XLA; zero-size skipped at trace time)
+    if op.spill_vals.shape[0]:
+        ax_spill = jax.ops.segment_sum(
+            op.spill_vals * x_new[op.spill_cols], op.spill_rows,
+            num_segments=n_rows, indices_are_sorted=True,
+        )
+    else:
+        ax_spill = jnp.zeros((n_rows,), jnp.float32)
+
+    pad_r = T * 128 - n_rows
+
+    def to1(v, fill=0.0):
+        return jnp.pad(v, (0, pad_r), constant_values=fill)
+
+    x_pad = jnp.pad(x_new, (0, n_cols_pad - n_cols))
+    starts = jnp.asarray(op.row_starts, jnp.int32)
+    sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(1)
+
+    ax2, y2n, aty_pad = _row_pass(
+        op.row_slabs, starts, sigma_arr, x_pad,
+        to1(ax_old), to1(ax_spill), to1(y),
+        to1(lc0m, -1e30), to1(uc0m, 1e30),
+        T=T, W=W, n_cols_pad=n_cols_pad, interpret=interpret,
+    )
+    ax_new = ax2[:n_rows]
+    y_new = y2n[:n_rows]
+    aty_new = aty_pad[:n_cols]
+    # A^T y spill (XLA): the kernel covers (row_slabs)^T y, so the
+    # remainder is the transpose of the ROW-side spill — scatter each
+    # (v, r, c) entry as aty[c] += v * y_new[r]
+    if op.spill_vals.shape[0]:
+        aty_new = aty_new + jax.ops.segment_sum(
+            op.spill_vals * y_new[op.spill_rows], op.spill_cols,
+            num_segments=n_cols,
+        )
+    # step-size reductions in XLA from the kernel outputs (fused into the
+    # surrounding elementwise graph; negligible next to the slab stream)
+    dy = y_new - y
+    interaction = jnp.dot(dy, ax_new - ax_old)
+    dy_dot = jnp.dot(dy, dy)
+    return ax_new, y_new, aty_new, interaction, dy_dot

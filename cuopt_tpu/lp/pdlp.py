@@ -135,6 +135,10 @@ class StaticCfg:
     primal_inf_tol: float = 1e-8
     dual_inf_tol: float = 1e-8
     max_step_attempts: int = 64
+    # fused Pallas PDHG pass (lp/pdhg_pallas.py): "auto" = on TPU when the
+    # operator/dtype supports it; "on" = also in interpreter mode (tests);
+    # "off" = always the XLA matvec/rmatvec pair
+    fused_kernel: str = "auto"
 
 
 # ============================================================ residual math
@@ -207,12 +211,26 @@ def _kkt_score(info, omega):
 
 
 # ================================================================ PDHG step
+def _use_fused(dev: DeviceProblem, dtype, cfg: StaticCfg) -> bool:
+    """Trace-time choice of the fused Pallas pass (lp/pdhg_pallas.py)."""
+    if cfg.fused_kernel == "off":
+        return False
+    from cuopt_tpu.lp.pdhg_pallas import fused_pass_supported
+
+    if not fused_pass_supported(dev.op, dtype):
+        return False
+    if cfg.fused_kernel == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
     """One PDHG step with Malitsky-Pock adaptive step size (reference
     pdlp.cu take_step :1188 + adaptive_step_size_strategy)."""
     hp = cfg.hp
     omega = s.primal_weight
     big = jnp.asarray(jnp.finfo(s.x.dtype).max, s.x.dtype)
+    fused = _use_fused(dev, s.x.dtype, cfg)
 
     def attempt(carry):
         eta, _, _, _, _, _, _, attempts = carry
@@ -220,24 +238,36 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
         sigma = eta * omega
         grad = dev.c - s.aty
         x_new = jnp.clip(s.x - tau * grad, dev.lv, dev.uv)
-        ax_new = dev.op.matvec(x_new)
-        ax_tilde = 2.0 * ax_new - s.ax
-        # two-sided dual proximal step
-        y_low = jnp.where(
-            dev.lc_fin, s.y + sigma * (dev.lc0 - ax_tilde), -big
-        )
-        y_high = jnp.where(
-            dev.uc_fin, s.y + sigma * (dev.uc0 - ax_tilde), big
-        )
-        y_new = jnp.where(
-            y_low > 0.0, y_low, jnp.where(y_high < 0.0, y_high, 0.0)
-        )
-        aty_new = dev.op.rmatvec(y_new)
         dx = x_new - s.x
-        dy = y_new - s.y
-        interaction = jnp.abs(jnp.dot(dy, ax_new - s.ax))
-        movement = 0.5 * omega * jnp.dot(dx, dx) + \
-            0.5 / omega * jnp.dot(dy, dy)
+        if fused:
+            from cuopt_tpu.lp.pdhg_pallas import fused_row_pass
+
+            lc0m = jnp.where(dev.lc_fin, dev.lc0, -1e30)
+            uc0m = jnp.where(dev.uc_fin, dev.uc0, 1e30)
+            ax_new, y_new, aty_new, inter_raw, dy_dot = fused_row_pass(
+                dev.op, x_new, s.ax, s.y, lc0m, uc0m, sigma,
+            )
+            interaction = jnp.abs(inter_raw)
+            movement = 0.5 * omega * jnp.dot(dx, dx) + \
+                0.5 / omega * dy_dot
+        else:
+            ax_new = dev.op.matvec(x_new)
+            ax_tilde = 2.0 * ax_new - s.ax
+            # two-sided dual proximal step
+            y_low = jnp.where(
+                dev.lc_fin, s.y + sigma * (dev.lc0 - ax_tilde), -big
+            )
+            y_high = jnp.where(
+                dev.uc_fin, s.y + sigma * (dev.uc0 - ax_tilde), big
+            )
+            y_new = jnp.where(
+                y_low > 0.0, y_low, jnp.where(y_high < 0.0, y_high, 0.0)
+            )
+            aty_new = dev.op.rmatvec(y_new)
+            dy = y_new - s.y
+            interaction = jnp.abs(jnp.dot(dy, ax_new - s.ax))
+            movement = 0.5 * omega * jnp.dot(dx, dx) + \
+                0.5 / omega * jnp.dot(dy, dy)
         eta_limit = jnp.where(
             interaction > 0.0, movement / interaction, big
         )

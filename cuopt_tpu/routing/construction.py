@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from cuopt_tpu.routing.internal import RoutingProblem
+from cuopt_tpu.routing.internal import (
+    RoutingProblem,
+    insert_precedence_ok,
+    order_arrival_times,
+    precedence_depth,
+)
 
 
 def cheapest_insertion(
@@ -24,13 +29,18 @@ def cheapest_insertion(
     """
     rng = rng or np.random.default_rng(0)
     routes: dict[int, list[int]] = {v: [] for v in range(prob.n_fleet)}
-    # order processing sequence: earliest time window, then demand
-    keys = np.lexsort((-prob.demand.sum(axis=0), prob.tw_early))
+    # order processing sequence: precedence depth first (predecessors
+    # before successors), then earliest time window, then demand
+    keys = np.lexsort((
+        -prob.demand.sum(axis=0), prob.tw_early, precedence_depth(prob),
+    ))
     pending = [int(o) for o in keys]
     handled = set()
     unassigned: list[int] = []
+    prec = bool(prob.precedence)
 
     for o in pending:
+        arr = order_arrival_times(prob, routes) if prec else None
         if o in handled:
             continue
         partner = -1
@@ -51,14 +61,20 @@ def cheapest_insertion(
                 if partner >= 0:
                     for j in range(i + 1, len(cand) + 1):
                         cand2 = cand[:j] + [partner] + cand[j:]
-                        if prob.route_feasible(v, cand2):
+                        if prob.route_feasible(v, cand2) and (
+                            not prec
+                            or insert_precedence_ok(prob, arr, v, cand2)
+                        ):
                             delta = prob.route_cost(v, cand2) - base
                             if noise:
                                 delta *= 1.0 + noise * rng.uniform(-1, 1)
                             if best is None or delta < best[0]:
                                 best = (delta, v, cand2)
                 else:
-                    if prob.route_feasible(v, cand):
+                    if prob.route_feasible(v, cand) and (
+                        not prec
+                        or insert_precedence_ok(prob, arr, v, cand)
+                    ):
                         delta = prob.route_cost(v, cand) - base
                         if noise:
                             delta *= 1.0 + noise * rng.uniform(-1, 1)
@@ -79,10 +95,18 @@ def cheapest_insertion(
 
 
 def greedy_reinsert(prob, routes, removed, rng=None, noise=0.1):
-    """Reinsert removed orders (ruin & recreate step)."""
+    """Reinsert removed orders (ruin & recreate step). With precedence
+    constraints, insertion positions are filtered so the resulting
+    arrival times respect every affected pair (precedence by
+    construction, not post-hoc repair)."""
     rng = rng or np.random.default_rng(0)
     unassigned = []
+    prec = bool(prob.precedence)
+    if prec:
+        depth = precedence_depth(prob)
+        removed = sorted(removed, key=lambda o: (depth[int(o)], int(o)))
     for o in removed:
+        arr = order_arrival_times(prob, routes) if prec else None
         partner = -1
         if prob.pd_partner is not None and prob.pd_partner[o] >= 0 and \
                 prob.pd_sign[o] > 0:
@@ -102,13 +126,19 @@ def greedy_reinsert(prob, routes, removed, rng=None, noise=0.1):
                 if partner >= 0:
                     for j in range(i + 1, len(cand) + 1):
                         cand2 = cand[:j] + [partner] + cand[j:]
-                        if prob.route_feasible(v, cand2):
+                        if prob.route_feasible(v, cand2) and (
+                            not prec
+                            or insert_precedence_ok(prob, arr, v, cand2)
+                        ):
                             delta = prob.route_cost(v, cand2) - base
                             delta *= 1.0 + noise * rng.uniform(-1, 1)
                             if best is None or delta < best[0]:
                                 best = (delta, v, cand2)
                 else:
-                    if prob.route_feasible(v, cand):
+                    if prob.route_feasible(v, cand) and (
+                        not prec
+                        or insert_precedence_ok(prob, arr, v, cand)
+                    ):
                         delta = prob.route_cost(v, cand) - base
                         delta *= 1.0 + noise * rng.uniform(-1, 1)
                         if best is None or delta < best[0]:

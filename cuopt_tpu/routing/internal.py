@@ -439,6 +439,61 @@ def order_arrival_times(prob: RoutingProblem, routes: dict) -> np.ndarray:
     return arr
 
 
+def precedence_depth(prob: RoutingProblem) -> np.ndarray:
+    """DAG depth of every serve order under the precedence constraints
+    (0 = no predecessors). Construction/reinsertion process orders in
+    ascending depth so predecessors are always placed first — precedence
+    is then satisfiable by insertion-time checks instead of post-hoc
+    repair (reference enforces it in ejection-insertion feasibility,
+    data_model_view.hpp:359-368)."""
+    depth = np.zeros(prob.n_serve, np.int32)
+    if not prob.precedence:
+        return depth
+    preds_map = {int(o): [int(p) for p in preds]
+                 for o, preds in prob.precedence}
+    memo: dict[int, int] = {}
+
+    def d(o: int) -> int:
+        if o in memo:
+            return memo[o]
+        memo[o] = 0  # cycle guard (validate() rejects real cycles)
+        ps = preds_map.get(o, [])
+        memo[o] = 1 + max((d(p) for p in ps), default=-1)
+        return memo[o]
+
+    for o in range(prob.n_serve):
+        depth[o] = d(o)
+    return depth
+
+
+def insert_precedence_ok(prob: RoutingProblem, arr: np.ndarray, v: int,
+                         cand: list[int]) -> bool:
+    """Would replacing route v with `cand` keep all precedence pairs whose
+    arrivals it touches consistent?  `arr` holds current service-start
+    times (order_arrival_times); constraints with an UNSERVED predecessor
+    are ignored here — construction processes orders in precedence_depth
+    order, so a served order's predecessors are placed first, and the
+    final solution check (precedence_ok) still rejects pred-unserved."""
+    if not prob.precedence:
+        return True
+    arr2 = arr.copy()
+    plan = prob.route_plan(v, cand)
+    for o, a in zip(cand, plan["arrivals"]):
+        arr2[o] = a
+    changed = set(int(o) for o in cand)
+    for o, preds in prob.precedence:
+        o = int(o)
+        if arr2[o] == -INF:
+            continue
+        if o not in changed and not any(int(p) in changed for p in preds):
+            continue
+        for p in preds:
+            pa = arr2[int(p)]
+            if pa != -INF and pa > arr2[o] + 1e-9:
+                return False
+    return True
+
+
 def precedence_ok(prob: RoutingProblem, routes: dict,
                   unassigned=()) -> bool:
     """Cross-route temporal precedence: every order with precedence must

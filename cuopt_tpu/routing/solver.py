@@ -189,10 +189,53 @@ def _enforce_precedence(prob, routes, unassigned, rng, max_rounds=10):
             routes, left = greedy_reinsert(
                 prob, routes, sorted(pulled), rng
             )
+            # deterministic fallback for anything greedy insertion could
+            # not place: append at the end of the route holding the
+            # latest predecessor (arrivals only grow along a route), then
+            # any other route end
+            left = _append_after_predecessors(prob, routes, left)
             unassigned.extend(left)
         else:
             unassigned.extend(sorted(pulled))
     return routes, sorted(set(unassigned))
+
+
+def _append_after_predecessors(prob, routes, left):
+    from cuopt_tpu.routing.internal import (
+        insert_precedence_ok,
+        order_arrival_times,
+    )
+
+    still = []
+    for o in left:
+        if prob.pd_partner is not None and int(prob.pd_partner[o]) >= 0:
+            still.append(o)  # PD pairs: leave to greedy machinery
+            continue
+        arr = order_arrival_times(prob, routes)
+        preds = next(
+            (ps for oo, ps in prob.precedence if int(oo) == int(o)), ()
+        )
+        pred_routes = [
+            v for v, r in routes.items()
+            if any(int(p) in r for p in preds)
+        ]
+        placed = False
+        for v in pred_routes + [
+            v for v in routes if v not in pred_routes
+        ]:
+            if prob.allowed_vehicles is not None and not (
+                prob.allowed_vehicles[o, v]
+            ):
+                continue
+            cand = routes[v] + [int(o)]
+            if prob.route_feasible(v, cand) and \
+                    insert_precedence_ok(prob, arr, v, cand):
+                routes[v] = cand
+                placed = True
+                break
+        if not placed:
+            still.append(o)
+    return still
 
 
 def Solve(data_model, solver_settings: SolverSettings | None = None):

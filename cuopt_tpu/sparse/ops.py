@@ -411,9 +411,14 @@ class PermutedOp(LinearOperator):
         return self.inner.col_abs_max()[self.inv_col_perm]
 
 
+_ALIGN = 128  # lane width: window starts are 128-aligned so the Pallas
+# fused-PDHG kernel (lp/pdhg_pallas.py) slices x / accumulates A^T y at
+# aligned lane offsets (unaligned cross-lane slices force relayouts)
+
+
 def _tile_windows(offsets, indices, n_axis, tile, W):
-    """Per-tile window starts for width W, placed on the densest window
-    of each tile's (sorted) column indices via a two-pointer pass.
+    """Per-tile window starts for width W, placed on the densest
+    128-ALIGNED window of each tile's (sorted) column indices.
     Returns (starts (T,), inside mask over nnz)."""
     T = (n_axis + tile - 1) // tile
     starts = np.zeros(T, np.int64)
@@ -424,12 +429,15 @@ def _tile_windows(offsets, indices, n_axis, tile, W):
         if b <= a:
             continue
         seg = np.sort(indices[a:b])
-        if seg[-1] - seg[0] < W:
-            s = int(seg[0])
+        lo = (int(seg[0]) // _ALIGN) * _ALIGN
+        if int(seg[-1]) - lo < W:
+            s = lo
         else:
-            jj = np.searchsorted(seg, seg + W, side="left")
-            covered = jj - np.arange(len(seg))
-            s = int(seg[int(np.argmax(covered))])
+            # candidate aligned starts; count coverage via two pointers
+            cand = np.unique((seg // _ALIGN) * _ALIGN)
+            jj = np.searchsorted(seg, cand + W, side="left")
+            ii = np.searchsorted(seg, cand, side="left")
+            s = int(cand[int(np.argmax(jj - ii))])
         starts[t] = s
         inside[a:b] = (indices[a:b] >= s) & (indices[a:b] < s + W)
     return starts, inside
@@ -457,7 +465,8 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
         b = int(offsets[min((t + 1) * tile, n_axis)])
         if b > a:
             seg = indices[a:b]
-            full_w[t] = int(seg.max()) - int(seg.min()) + 1
+            # width needed from a 128-aligned start (see _tile_windows)
+            full_w[t] = int(seg.max()) - (int(seg.min()) // _ALIGN) * _ALIGN + 1
 
     def _round(w):
         return max(tile, ((int(w) + tile - 1) // tile) * tile)

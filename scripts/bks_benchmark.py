@@ -1,0 +1,156 @@
+"""Routing quality regression vs best-known solutions.
+
+Mirrors the reference quality gate (cpp/tests/routing/l2_routing_test.cu:
+33-53): solve Gehring-Homberger CVRPTW / CVRPLIB CVRP instances and
+report the cost gap and vehicle-count delta vs the BKS tables
+(datasets/ref/bks_gehring_homberger.csv, homberger.txt, cvrp.txt).
+
+Two modes:
+  --dataset-root DIR   solve real instances under DIR (the reference
+                       downloads them via datasets/get_test_data.sh;
+                       offline images have only the pointer lists).
+  (default)            synthesize Gehring-Homberger-CLASS instances
+                       (io/vrp.py synth_gh_instance: C/R/RC classes at
+                       200/400 customers) and compare against the best
+                       costs recorded in scripts/bks_synth_baseline.json,
+                       regenerating it with --record. This is the offline
+                       quality regression: gaps must not drift up
+                       round-over-round.
+
+Output: BKS_r.json-style artifact with per-instance cost, vehicles, BKS,
+gap%.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bks_synth_baseline.json"
+)
+
+SYNTH_SET = [
+    ("C", 200, 1), ("R", 200, 2), ("RC", 200, 3),
+    ("C", 400, 4), ("R", 400, 5), ("RC", 400, 6),
+]
+
+
+def solve_instance(inst, time_limit):
+    from cuopt_tpu.io.vrp import solution_cost
+    from cuopt_tpu.routing.settings import SolverSettings
+    from cuopt_tpu.routing.solver import Solve
+
+    dm = inst.to_data_model()
+    s = SolverSettings()
+    s.time_limit = time_limit
+    t0 = time.time()
+    sol = Solve(dm, s)
+    elapsed = time.time() - t0
+    if sol.status != 0:
+        return dict(instance=inst.name, status=int(sol.status),
+                    message=sol.message, solve_s=round(elapsed, 1))
+    cost, used = solution_cost(inst, sol)
+    return dict(instance=inst.name, status=0, cost=round(cost, 2),
+                vehicles=used, solve_s=round(elapsed, 1))
+
+
+def run_real(root, time_limit):
+    from cuopt_tpu.io.vrp import load_bks_table, parse_instance_file
+
+    results = []
+    for list_name in ("homberger.txt", "cvrp.txt"):
+        lst = os.path.join(REPO_REF, "datasets", "ref", list_name)
+        if not os.path.exists(lst):
+            continue
+        bks = load_bks_table(lst)
+        for ln in open(lst):
+            rel = ln.strip().split(",")[0]
+            path = os.path.join(root, rel)
+            if not os.path.exists(path):
+                continue
+            inst = parse_instance_file(path)
+            r = solve_instance(inst, time_limit)
+            base = rel.split("/")[-1]
+            if base in bks and r.get("status") == 0:
+                veh, cost = bks[base]
+                r["bks_cost"] = cost
+                r["bks_vehicles"] = veh
+                r["gap_pct"] = round(100 * (r["cost"] - cost) / cost, 2)
+                r["extra_vehicles"] = r["vehicles"] - veh
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    return results
+
+
+REPO_REF = "/root/reference"
+
+
+def run_synth(time_limit, record, classes=None):
+    from cuopt_tpu.io.vrp import synth_gh_instance
+
+    baseline = {}
+    if os.path.exists(BASELINE_PATH):
+        baseline = json.load(open(BASELINE_PATH))
+    results = []
+    for kind, n, seed in (classes or SYNTH_SET):
+        inst = synth_gh_instance(n, kind, seed)
+        r = solve_instance(inst, time_limit)
+        if r.get("status") == 0 and inst.name in baseline:
+            best = baseline[inst.name]["cost"]
+            r["best_recorded_cost"] = best
+            r["gap_pct"] = round(100 * (r["cost"] - best) / best, 2)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    if record:
+        new = dict(baseline)
+        for r in results:
+            if r.get("status") != 0:
+                continue
+            cur = new.get(r["instance"], {}).get("cost")
+            if cur is None or r["cost"] < cur:
+                new[r["instance"]] = {
+                    "cost": r["cost"], "vehicles": r["vehicles"],
+                }
+        json.dump(new, open(BASELINE_PATH, "w"), indent=1)
+        print(f"baseline updated: {BASELINE_PATH}", file=sys.stderr)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset-root", default=os.environ.get(
+        "CUOPT_DATASET_ROOT"))
+    ap.add_argument("--time-limit", type=float, default=30.0)
+    ap.add_argument("--record", action="store_true",
+                    help="update the synthetic best-cost baseline")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.dataset_root:
+        results = run_real(args.dataset_root, args.time_limit)
+    else:
+        results = run_synth(args.time_limit, args.record)
+    ok = [r for r in results if r.get("status") == 0]
+    gaps = [r["gap_pct"] for r in ok if "gap_pct" in r]
+    summary = {
+        "mode": "real" if args.dataset_root else "synthetic-gh",
+        "solved": len(ok),
+        "total": len(results),
+        "mean_gap_pct": round(sum(gaps) / len(gaps), 2) if gaps else None,
+        "results": results,
+    }
+    out = args.out or os.path.join(REPO, "BKS_latest.json")
+    json.dump(summary, open(out, "w"), indent=1)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "results"}))
+
+
+if __name__ == "__main__":
+    main()
