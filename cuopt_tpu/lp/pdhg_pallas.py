@@ -69,64 +69,93 @@ def _col_pad(op) -> int:
 def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
             y_ref, lc_ref, uc_ref,
             ax_out, y_out, aty_out, *, W):
+    """Grid step t = one 128-row tile.
+
+    2-D layouts throughout: row-space vectors are (T, 128) with one row
+    per tile; column-space vectors are (n_cols_pad/128, 128) so the
+    x-window read and the A^T y accumulation are dynamic SUBLANE-dim
+    slices (Mosaic supports arbitrary row offsets there; 1-D dynamic
+    slices would demand 1024-element alignment)."""
     t = pl.program_id(0)
+    WB = W // 128
 
     @pl.when(t == 0)
     def _():
         aty_out[...] = jnp.zeros_like(aty_out)
 
-    s = pl.multiple_of(starts_ref[t], 128)
-    xw = x_ref[pl.ds(s, W)]        # (W,) lane-aligned window of x_new
-    slab = slab_ref[0]             # (128, W) dense slab of this row tile
-    # VPU form: broadcast-multiply + lane reduce (Mosaic's dot lowering
-    # rejects 1-D operands, and an N=1 MXU GEMV wastes the array anyway)
-    ax_slab = jnp.sum(slab * xw[None, :], axis=1)
-    ax_new = ax_slab + axs_ref[...]  # + out-of-window (spill) activity
-    ax_tilde = 2.0 * ax_new - axo_ref[...]
+    s128 = starts_ref[t]               # window start / 128 (host-divided)
+    xw = x_ref[pl.ds(s128, WB), :]     # (WB, 128) window of x_new
+    slab = slab_ref[0]                 # (128, W) dense slab of this tile
+    # VPU matvec, one 128-wide window block at a time (lane-regrouping
+    # reshapes like (W,)->(WB,128) are unsupported shape casts in
+    # Mosaic): accumulate the elementwise products, reduce lanes once
+    prod = slab[:, 0:128] * xw[0].reshape(1, 128)
+    for wb in range(1, WB):
+        prod = prod + slab[:, wb * 128:(wb + 1) * 128] * \
+            xw[wb].reshape(1, 128)
+    ax_slab = jnp.sum(prod, axis=1).reshape(1, 128)
+    ax_new = ax_slab + axs_ref[pl.ds(t, 1), :]   # + spill activity
+    ax_tilde = 2.0 * ax_new - axo_ref[pl.ds(t, 1), :]
     sg = sigma_ref[0]
-    y = y_ref[...]
+    y = y_ref[pl.ds(t, 1), :]
     # two-sided dual prox; lc/uc arrive pre-masked (∓1e30 when infinite)
-    y_low = y + sg * (lc_ref[...] - ax_tilde)
-    y_high = y + sg * (uc_ref[...] - ax_tilde)
+    y_low = y + sg * (lc_ref[pl.ds(t, 1), :] - ax_tilde)
+    y_high = y + sg * (uc_ref[pl.ds(t, 1), :] - ax_tilde)
     y_new = jnp.where(
         y_low > 0.0, y_low,
         jnp.where(y_high < 0.0, y_high, jnp.zeros_like(y)),
     )
-    ax_out[...] = ax_new
-    y_out[...] = y_new
-    # transpose partial: y_tile^T A_tile accumulated into the x-window
-    part = jnp.sum(slab * y_new[:, None], axis=0)
-    aty_out[pl.ds(s, W)] += part
+    ax_out[pl.ds(t, 1), :] = ax_new
+    y_out[pl.ds(t, 1), :] = y_new
+    # transpose partial: y_tile^T A_tile accumulated into the x-window,
+    # per window block. MXU dot_general (1,128)@(128,128): measured ~5x
+    # faster than a lane->sublane transpose + VPU sublane reduce.
+    for wb in range(WB):
+        part = jax.lax.dot_general(
+            y_new, slab[:, wb * 128:(wb + 1) * 128],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, 128)
+        aty_out[pl.ds(s128 + wb, 1), :] += part
 
 
 @partial(jax.jit, static_argnames=("T", "W", "n_cols_pad", "interpret"))
-def _row_pass(slabs, starts, sigma, x_pad, ax_old2, ax_spill2, y2,
+def _row_pass(slabs, starts, sigma, x_pad2, ax_old2, ax_spill2, y2,
               lc2, uc2, *, T, W, n_cols_pad, interpret):
+    nbc = n_cols_pad // 128
+
+    # Every spec carries an explicit index map whose components all
+    # derive from t: with scalar prefetch present, Mosaic rejects the
+    # default constant maps (their i64 constants fail legalization).
+    def whole(shape):
+        zeros = lambda t, *_: tuple(t * 0 for _ in shape)  # noqa: E731
+        return pl.BlockSpec(shape, zeros, memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # starts, sigma
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 128, W), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_pad, whole
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # ax_old
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # ax_spill
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # y
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # lc masked
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # uc masked
+            pl.BlockSpec((1, 128, W), lambda t, *_: (t, t * 0, t * 0)),
+            whole((nbc, 128)),   # x
+            whole((T, 128)),     # ax_old
+            whole((T, 128)),     # ax_spill
+            whole((T, 128)),     # y
+            whole((T, 128)),     # lc masked
+            whole((T, 128)),     # uc masked
         ],
         out_specs=[
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # ax_new
-            pl.BlockSpec((128,), lambda t, *_: (t,)),  # y_new
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # aty accumulator
+            whole((T, 128)),     # ax_new
+            whole((T, 128)),     # y_new
+            whole((nbc, 128)),   # aty accumulator
         ],
     )
     return pl.pallas_call(
         partial(_kernel, W=W),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T * 128,), jnp.float32),
-            jax.ShapeDtypeStruct((T * 128,), jnp.float32),
-            jax.ShapeDtypeStruct((n_cols_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbc, 128), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -134,7 +163,7 @@ def _row_pass(slabs, starts, sigma, x_pad, ax_old2, ax_spill2, y2,
             bytes_accessed=T * 128 * W * 4,
             transcendentals=0,
         ),
-    )(starts, sigma, slabs, x_pad, ax_old2, ax_spill2, y2, lc2, uc2)
+    )(starts, sigma, slabs, x_pad2, ax_old2, ax_spill2, y2, lc2, uc2)
 
 
 def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,
@@ -167,22 +196,22 @@ def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,
 
     pad_r = T * 128 - n_rows
 
-    def to1(v, fill=0.0):
-        return jnp.pad(v, (0, pad_r), constant_values=fill)
+    def to2(v, fill=0.0):
+        return jnp.pad(v, (0, pad_r), constant_values=fill).reshape(T, 128)
 
-    x_pad = jnp.pad(x_new, (0, n_cols_pad - n_cols))
-    starts = jnp.asarray(op.row_starts, jnp.int32)
+    x_pad2 = jnp.pad(x_new, (0, n_cols_pad - n_cols)).reshape(-1, 128)
+    starts = jnp.asarray([s // 128 for s in op.row_starts], jnp.int32)
     sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(1)
 
     ax2, y2n, aty_pad = _row_pass(
-        op.row_slabs, starts, sigma_arr, x_pad,
-        to1(ax_old), to1(ax_spill), to1(y),
-        to1(lc0m, -1e30), to1(uc0m, 1e30),
+        op.row_slabs, starts, sigma_arr, x_pad2,
+        to2(ax_old), to2(ax_spill), to2(y),
+        to2(lc0m, -1e30), to2(uc0m, 1e30),
         T=T, W=W, n_cols_pad=n_cols_pad, interpret=interpret,
     )
-    ax_new = ax2[:n_rows]
-    y_new = y2n[:n_rows]
-    aty_new = aty_pad[:n_cols]
+    ax_new = ax2.reshape(-1)[:n_rows]
+    y_new = y2n.reshape(-1)[:n_rows]
+    aty_new = aty_pad.reshape(-1)[:n_cols]
     # A^T y spill (XLA): the kernel covers (row_slabs)^T y, so the
     # remainder is the transpose of the ROW-side spill — scatter each
     # (v, r, c) entry as aty[c] += v * y_new[r]

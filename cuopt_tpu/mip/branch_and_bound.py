@@ -32,6 +32,39 @@ from cuopt_tpu.mip.rounding import is_feasible
 from cuopt_tpu.utils.logger import get_logger
 
 
+def safe_dual_bound(prob, y, lv, uv, nnz_rows=None):
+    """Rigorous lower bound on min c^T x s.t. L<=Ax<=U, lv<=x<=uv from ANY
+    dual vector y (weak duality on the Lagrangian; see
+    BranchAndBound._safe_dual_bound for the derivation). Standalone so the
+    MIP root bound uses the same safeguard (mip/solve.py)."""
+    if y is None:
+        return -math.inf
+    if nnz_rows is None:
+        nnz_rows = np.repeat(
+            np.arange(prob.n_constraints), np.diff(prob.offsets)
+        )
+    y = np.asarray(y, float).copy()
+    L = prob.constraint_lower_bounds
+    U = prob.constraint_upper_bounds
+    y[(y > 0) & ~np.isfinite(L)] = 0.0
+    y[(y < 0) & ~np.isfinite(U)] = 0.0
+    y[~np.isfinite(y)] = 0.0
+    r = np.asarray(prob.objective_coefficients, float).copy()
+    np.subtract.at(r, prob.indices, prob.values * y[nnz_rows])
+    row_term = np.zeros_like(y)
+    pos, neg = y > 0, y < 0
+    row_term[pos] = L[pos] * y[pos]
+    row_term[neg] = U[neg] * y[neg]
+    var_term = np.zeros_like(r)
+    with np.errstate(invalid="ignore"):
+        pos, neg = r > 1e-14, r < -1e-14
+        var_term[pos] = lv[pos] * r[pos]
+        var_term[neg] = uv[neg] * r[neg]
+    total = float(np.sum(row_term) + np.sum(var_term)
+                  + prob.objective_offset)
+    return total if not math.isnan(total) else -math.inf
+
+
 @dataclass(order=True)
 class _Node:
     bound: float
@@ -40,6 +73,10 @@ class _Node:
     uv: np.ndarray = field(compare=False)
     x_warm: np.ndarray | None = field(compare=False, default=None)
     y_warm: np.ndarray | None = field(compare=False, default=None)
+    # warm simplex basis statuses from the parent node (int8[n+m]);
+    # reference warm-starts node re-solves from the parent basis
+    # (dual_simplex/branch_and_bound.hpp node solves)
+    vstat: np.ndarray | None = field(compare=False, default=None)
     depth: int = field(compare=False, default=0)
     # LP effort multiplier: grows when a node's relaxation hits its
     # iteration limit and the node is re-queued (never silently dropped)
@@ -58,11 +95,14 @@ class BranchAndBound:
         self.node_lp_tol = node_lp_tol
         self.max_nodes = max_nodes
         self.log = get_logger()
-        # exact host simplex for node relaxations when available and the
-        # problem is small enough for the dense-inverse kernel (reference
-        # B&B runs on dual simplex; PDLP is the fallback bound engine)
+        # exact host simplex for node relaxations (reference B&B runs on
+        # dual simplex, branch_and_bound.hpp:45); the sparse-LU engine
+        # (cpp/dual_simplex/sparse_lu.hpp) handles mid-size instances, so
+        # the gate is only a guard against huge node LPs where the PDLP
+        # bound engine is the better fit
         self.use_simplex = False
-        if prob.n_constraints <= 500 and prob.n_variables <= 1000:
+        if prob.n_constraints <= 20_000 and prob.n_variables <= 40_000 \
+                and prob.nnz <= 2_000_000:
             try:
                 from cuopt_tpu.dual_simplex import is_available
 
@@ -111,29 +151,81 @@ class BranchAndBound:
         stays finite; an infinite variable bound hit by a nonzero reduced
         cost yields -inf (valid, just uninformative).
         """
-        p = self.prob
-        if y is None:
-            return -math.inf
-        y = np.asarray(y, float).copy()
-        L = p.constraint_lower_bounds
-        U = p.constraint_upper_bounds
-        y[(y > 0) & ~np.isfinite(L)] = 0.0
-        y[(y < 0) & ~np.isfinite(U)] = 0.0
-        y[~np.isfinite(y)] = 0.0
-        r = np.asarray(p.objective_coefficients, float).copy()
-        np.subtract.at(r, p.indices, p.values * y[self._nnz_rows])
-        row_term = np.zeros_like(y)
-        pos, neg = y > 0, y < 0
-        row_term[pos] = L[pos] * y[pos]
-        row_term[neg] = U[neg] * y[neg]
-        var_term = np.zeros_like(r)
-        with np.errstate(invalid="ignore"):
-            pos, neg = r > 1e-14, r < -1e-14
-            var_term[pos] = lv[pos] * r[pos]
-            var_term[neg] = uv[neg] * r[neg]
-        total = float(np.sum(row_term) + np.sum(var_term)
-                      + p.objective_offset)
-        return total if not math.isnan(total) else -math.inf
+        return safe_dual_bound(self.prob, y, lv, uv, self._nnz_rows)
+
+    def _should_strong_branch(self, node, frac):
+        """Strong-branch at shallow depth while pseudo-costs are cold
+        (reference initializes pseudo-costs via multi-threaded strong
+        branching, dual_simplex/pseudo_costs.cpp:236-258)."""
+        if not self.use_simplex or node.depth > 4:
+            return False
+        cand = np.where(frac > self.int_tol)[0]
+        if len(cand) < 2:
+            return False
+        cold = ((self._pc_up_n[cand] == 0) |
+                (self._pc_dn_n[cand] == 0)).mean()
+        return cold > 0.5
+
+    def _strong_branch(self, node, x, frac, raw, timer, top_k=8,
+                       iter_cap=300):
+        """Score the top-k fractional candidates by actually solving both
+        child LPs with a small iteration cap, in a thread pool (the
+        simplex releases the GIL inside the C call). Seeds pseudo-costs
+        and returns the product-rule winner."""
+        from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+
+        cand = np.where(frac > self.int_tol)[0]
+        order = np.argsort(-frac[cand])
+        cand = cand[order[:top_k]]
+        vstat = raw.get("vstat")
+        base = self._safe_dual_bound(
+            raw.get("dual_solution"), node.lv, node.uv
+        )
+
+        def child_bound(j, up):
+            lv2 = node.lv.copy()
+            uv2 = node.uv.copy()
+            if up:
+                lv2[j] = math.ceil(x[j])
+            else:
+                uv2[j] = math.floor(x[j])
+            if lv2[j] > uv2[j]:
+                return math.inf
+            try:
+                r = self._solve_relaxation(
+                    lv2, uv2, timer=timer, vstat=vstat,
+                    iteration_cap=iter_cap,
+                )
+            except Exception:
+                return base
+            if r["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
+                return math.inf
+            return self._safe_dual_bound(r.get("dual_solution"), lv2, uv2)
+
+        n_threads = max(1, min(8, (_os.cpu_count() or 2) - 1))
+        jobs = [(int(j), up) for j in cand for up in (False, True)]
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            bounds = list(ex.map(lambda a: child_bound(*a), jobs))
+        best_j, best_score = int(cand[0]), -math.inf
+        for i, j in enumerate(cand):
+            dn_b, up_b = bounds[2 * i], bounds[2 * i + 1]
+            f = float(frac[j])
+            dn_gain = max(dn_b - base, 0.0) if math.isfinite(dn_b) \
+                else 1e6
+            up_gain = max(up_b - base, 0.0) if math.isfinite(up_b) \
+                else 1e6
+            # seed pseudo-costs from the measured degradations
+            if math.isfinite(dn_b) and self._pc_dn_n[j] == 0:
+                self._pc_dn[j] = dn_gain / max(f, 1e-9)
+                self._pc_dn_n[j] = 1
+            if math.isfinite(up_b) and self._pc_up_n[j] == 0:
+                self._pc_up[j] = up_gain / max(1.0 - f, 1e-9)
+                self._pc_up_n[j] = 1
+            score = max(dn_gain, 1e-6) * max(up_gain, 1e-6)
+            if score > best_score:
+                best_score, best_j = score, int(j)
+        return best_j
 
     def _update_pseudo_cost(self, node, child_bound):
         j = node.branch_var
@@ -178,7 +270,8 @@ class BranchAndBound:
 
     # internal orientation: minimize (maximize already negated by caller)
     def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
-                          timer=None, effort=1):
+                          timer=None, effort=1, vstat=None,
+                          iteration_cap=None):
         sub = self.prob
         node_prob = type(sub)(
             offsets=sub.offsets, indices=sub.indices, values=sub.values,
@@ -197,13 +290,16 @@ class BranchAndBound:
         s.set_optimality_tolerance(self.node_lp_tol)
         s.detect_infeasibility = True
         s.iteration_limit = 50_000 * int(effort)
+        if iteration_cap is not None:
+            s.iteration_limit = iteration_cap
         if timer is not None:
             s.time_limit = max(timer.remaining(), 0.5)
         if self.use_simplex:
             from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
             from cuopt_tpu.utils.timer import Timer as _Timer
 
-            raw = solve_lp_simplex(node_prob, s, timer or _Timer())
+            raw = solve_lp_simplex(node_prob, s, timer or _Timer(),
+                                   vstat=vstat, want_vstat=True)
             self.simplex_iters += raw["iterations"]
             return raw
         s.initial_primal_solution = x_warm
@@ -271,7 +367,7 @@ class BranchAndBound:
                 break
             raw = self._solve_relaxation(
                 node.lv, node.uv, node.x_warm, node.y_warm, timer,
-                effort=node.effort,
+                effort=node.effort, vstat=node.vstat,
             )
             self.nodes_explored += 1
             if raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
@@ -320,6 +416,9 @@ class BranchAndBound:
             frac = np.abs(x - np.round(x))
             frac = np.where(self.is_int, frac, 0.0)
             j = self._select_branch_var(x, frac)
+            if j >= 0 and frac[j] > self.int_tol and \
+                    self._should_strong_branch(node, frac):
+                j = self._strong_branch(node, x, frac, raw, timer)
             if j < 0 or frac[j] <= self.int_tol:
                 j = int(np.argmax(frac))
             if frac[j] <= self.int_tol:
@@ -333,7 +432,7 @@ class BranchAndBound:
                     )
                     self.set_incumbent(xi, obj)
                 continue
-            # branch on most fractional variable
+            # branch on the selected variable
             for child_dir in ("down", "up"):
                 lv2 = node.lv.copy()
                 uv2 = node.uv.copy()
@@ -350,6 +449,7 @@ class BranchAndBound:
                 heapq.heappush(heap, _Node(
                     bound, seq, pres.lv, pres.uv,
                     x_warm=x, y_warm=raw["dual_solution"],
+                    vstat=raw.get("vstat"),
                     depth=node.depth + 1,
                     branch_var=j, branch_up=(child_dir == "up"),
                     branch_frac=float(frac[j]),

@@ -197,8 +197,17 @@ def _run_mip(prob, settings, timer, log):
             C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
         )
     x_relax = root["primal_solution"]
-    root_bound = root["dual_objective"] if root["status"] == \
-        C.CUOPT_TERIMINATION_STATUS_OPTIMAL else -math.inf
+    # Rigorous root bound: a PDLP dual is only approximately feasible, so
+    # dual_objective cannot gate the MIP gap (same treatment as node
+    # bounds, branch_and_bound._safe_dual_bound; reference roots come
+    # from exact dual simplex)
+    from cuopt_tpu.mip.branch_and_bound import safe_dual_bound
+
+    root_bound = safe_dual_bound(
+        pint, root.get("dual_solution"),
+        pint.variable_lower_bounds, pint.variable_upper_bounds,
+    ) if root["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL \
+        else -math.inf
 
     # ---- heuristics: roundings + feasibility jump + pump ----
     from cuopt_tpu.mip.population import Population, run_diversity_loop

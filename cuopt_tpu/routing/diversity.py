@@ -83,7 +83,7 @@ def srex(prob, pa, pb, rng):
     """Selective route exchange: child = A with a random subset of B's
     routes transplanted; duplicates dropped from A-routes; missing orders
     greedily reinserted."""
-    from cuopt_tpu.routing.construction import greedy_reinsert
+    from cuopt_tpu.routing.construction import smart_reinsert
 
     child = {v: list(r) for v, r in pa["routes"].items()}
     nonempty_b = [v for v, r in pb["routes"].items() if r]
@@ -124,7 +124,7 @@ def srex(prob, pa, pb, rng):
             child[v] = keep
         missing = [o for o in missing
                    if prob.pd_partner[o] < 0 or prob.pd_sign[o] > 0]
-    child, unassigned = greedy_reinsert(prob, child, missing, rng)
+    child, unassigned = smart_reinsert(prob, child, missing, rng)
     return child, unassigned
 
 
@@ -154,7 +154,7 @@ def ox_single_route(prob, pa, pb, rng):
 def ruin_recreate(prob, parent, rng, frac=0.15):
     """Random segment removal + greedy reinsertion (mutation operator;
     plays the reference's random-perturbation role)."""
-    from cuopt_tpu.routing.construction import greedy_reinsert
+    from cuopt_tpu.routing.construction import smart_reinsert
 
     routes = {v: list(r) for v, r in parent["routes"].items()}
     candidates = [(v, i) for v, r in routes.items() for i in range(len(r))]
@@ -171,7 +171,7 @@ def ruin_recreate(prob, parent, rng, frac=0.15):
     for v in routes:
         routes[v] = [o for o in routes[v] if o not in to_remove]
     removed = list(to_remove) + list(parent["unassigned"])
-    return greedy_reinsert(prob, routes, removed, rng)
+    return smart_reinsert(prob, routes, removed, rng)
 
 
 def prize_filter(prob, routes, unassigned):

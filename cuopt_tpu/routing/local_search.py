@@ -597,6 +597,60 @@ def evaluate_moves(p: LsProblem, R, lens):
     return best, kind, mv
 
 
+@jax.jit
+def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
+    """Score inserting each candidate order into every slot of every
+    route: returns (P, F, L+1) delta-cost tensor, BIG where infeasible.
+
+    This is the device-batched insertion scoring used by large-instance
+    construction and the GES insertion step (reference scores insertions
+    with GPU kernels inside guided_ejection_search.cuh:81; here one fused
+    program covers all (candidate, route, slot) triples with O(1) TW
+    feasibility from the forward/backward route cumulations)."""
+    F, L = R.shape
+    locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
+        p, R, lens
+    )
+    cand = jnp.asarray(cand_ids, jnp.int32)  # (P,)
+    u_loc = p.order_loc[cand]                # (P,)
+    slot = jnp.arange(L + 1)
+    q_loc = locs[:, :L + 1]                  # (F, L+1)
+    qn_loc = locs[:, 1:L + 2]
+    fvec = jnp.arange(F)
+    cA = cmat[fvec[None, :, None], q_loc[None], u_loc[:, None, None]]
+    cB = cmat[fvec[None, :, None], u_loc[:, None, None], qn_loc[None]]
+    cC = cmat[fvec[:, None], q_loc, qn_loc][None]
+    delta = cA + cB - cC                     # (P, F, L+1)
+    # opening an empty route pays its fixed cost
+    delta = delta + jnp.where(lens == 0, p.veh_fixed, 0.0)[None, :, None]
+
+    slot_ok = slot[None, :] <= lens[:, None]           # (F, L+1)
+    cap_ok = jnp.all(
+        load[:, None, :] + p.demand[:, cand][:, :, None]
+        <= p.capacity[:, None, :] + 1e-6, axis=0,
+    )  # (P, F)
+    fit_ok = (lens + 1 <= L)[None, :]                  # (1, F)
+    allowed_ok = p.allowed[cand]                       # (P, F)
+    if p.has_tw:
+        tA = tmat[fvec[None, :, None], q_loc[None], u_loc[:, None, None]]
+        tB = tmat[fvec[None, :, None], u_loc[:, None, None], qn_loc[None]]
+        dep_slot = dep[:, :L + 1]
+        arr_u = jnp.maximum(dep_slot[None] + tA, p.e[cand][:, None, None])
+        ok_u = arr_u <= p.l[cand][:, None, None] + 1e-6
+        lat_next = lat[:, 1:L + 2]
+        ok_n = arr_u + p.s[cand][:, None, None] + tB <= \
+            lat_next[None] + 1e-6
+        tw_ok = ok_u & ok_n
+    else:
+        tw_ok = jnp.ones_like(delta, bool)
+    mask = (
+        slot_ok[None]
+        & (cap_ok & allowed_ok & fit_ok)[:, :, None]
+        & tw_ok
+    )
+    return jnp.where(mask, delta, BIG)
+
+
 @partial(jax.jit, static_argnames=("kf",))
 def evaluate_moves_topk(p: LsProblem, R, lens, kf: int = 8):
     """Top-kf moves per family in one device program.

@@ -271,7 +271,16 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
             prob, data_model.initial_solutions[0], rng
         )
     if routes is None:
-        routes, unassigned = cheapest_insertion(prob)
+        from cuopt_tpu.routing.construction import (
+            _batched_ok,
+            batched_construction,
+        )
+
+        if _batched_ok(prob, prob.n_serve):
+            prob._lsp_cache = lsp
+            routes, unassigned = batched_construction(prob, lsp)
+        else:
+            routes, unassigned = cheapest_insertion(prob)
     routes, unassigned = _enforce_precedence(prob, routes, unassigned,
                                              rng)
     routes = _local_search(prob, lsp, routes, timer)

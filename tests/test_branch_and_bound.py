@@ -46,9 +46,9 @@ class LimitFirstBnB(BranchAndBound):
         self.calls = 0
 
     def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
-                          timer=None, effort=1):
+                          timer=None, effort=1, **kw):
         raw = super()._solve_relaxation(lv, uv, x_warm, y_warm, timer,
-                                        effort)
+                                        effort, **kw)
         self.calls += 1
         if self.calls == 1:
             raw = dict(raw)
@@ -60,9 +60,9 @@ class AlwaysLimitBnB(BranchAndBound):
     """Every node relaxation reports an iteration limit (never resolves)."""
 
     def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
-                          timer=None, effort=1):
+                          timer=None, effort=1, **kw):
         raw = super()._solve_relaxation(lv, uv, x_warm, y_warm, timer,
-                                        effort)
+                                        effort, **kw)
         raw = dict(raw)
         raw["status"] = C.CUOPT_TERIMINATION_STATUS_ITERATION_LIMIT
         return raw
