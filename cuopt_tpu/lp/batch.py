@@ -26,17 +26,20 @@ from cuopt_tpu import constants as C
 from cuopt_tpu.lp.solution import Solution
 from cuopt_tpu.lp.solve import solve_lp
 
-# stacked-dense batch guard: a batch member with more dense elements
-# than this falls back to sequential (reference guidance: batch LP is
-# for ~>=1K-element problems, <=100 per batch — faq.rst:332)
+# size threshold below which the stacked operator is simply DENSE;
+# larger same-shape members batch via stacked BlockBand (identical
+# sparsity pattern, e.g. B&B node relaxations) or common-width ELL
+# (arbitrary patterns). Reference batch semantics: arbitrary LPs,
+# cython_solve.cu:264-290, guidance faq.rst:332.
 _BATCH_DENSE_LIMIT = 1 << 21
+# stacked-ELL memory guard (elements across the whole batch)
+_BATCH_ELL_LIMIT = 1 << 27
 
 
 def _groupable(prob, settings):
     return (
         prob.n_constraints > 0
         and prob.n_variables > 0
-        and prob.n_constraints * prob.n_variables <= _BATCH_DENSE_LIMIT
         and settings.warm_start_data is None
         and settings.initial_primal_solution is None
         and settings.initial_dual_solution is None
@@ -46,10 +49,15 @@ def _groupable(prob, settings):
 
 @lru_cache(maxsize=16)
 def _batch_major_fn(cfg):
+    import dataclasses
+
     import jax
 
     from cuopt_tpu.lp.pdlp import _cached_major_fn
 
+    # the fused Pallas pass is a per-problem kernel; under vmap the
+    # stacked einsum path is the right program (batched matmuls)
+    cfg = dataclasses.replace(cfg, fused_kernel="off")
     major = _cached_major_fn(cfg)  # jitted; grab its wrapped fn
     inner = getattr(major, "__wrapped__", major)
     return jax.jit(jax.vmap(inner))
@@ -106,11 +114,14 @@ def _solve_stacked(probs, settings):
     cfg, hp, dtype = solver0.cfg, solver0.hp, solver0.dtype
     timer = Timer(settings.time_limit)
 
+    kind = _pick_batch_kind(probs)
     devs, states = [], []
     for p in probs:
-        dev = build_device_problem(p, hp, dtype, "dense")
+        dev = build_device_problem(p, hp, dtype, kind)
         devs.append(dev)
         states.append(initial_state(dev, hp, dtype))
+    if kind == "ell":
+        devs = _normalize_ell_widths(devs)
     dev_b = jax.tree.map(lambda *xs: jnp.stack(xs), *devs)
     state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
     fn = _batch_major_fn(cfg)
@@ -196,3 +207,54 @@ def _extract_one(report, b, use_avg, status, timer):
         "linf_dual_residual": info["linf_dual_res"],
         "solved_by": "pdlp_batch",
     }
+
+
+def _pick_batch_kind(probs):
+    """Stacked operator for a same-shape batch: dense when small;
+    BlockBand when every member shares ONE sparsity pattern (identical
+    static window metadata stacks trivially — the B&B node-relaxation
+    case); else common-width ELL."""
+    p0 = probs[0]
+    if p0.n_constraints * p0.n_variables <= _BATCH_DENSE_LIMIT:
+        return "dense"
+    same_pattern = all(
+        p.nnz == p0.nnz
+        and np.array_equal(p.offsets, p0.offsets)
+        and np.array_equal(p.indices, p0.indices)
+        for p in probs[1:]
+    )
+    if same_pattern:
+        return "blockband"
+    total_ell = 0
+    for p in probs:
+        wr = int(np.max(np.diff(p.offsets), initial=1))
+        total_ell += p.n_constraints * wr * 2
+    if total_ell <= _BATCH_ELL_LIMIT:
+        return "ell"
+    raise ValueError("batch too large for stacked sparse operators")
+
+
+def _normalize_ell_widths(devs):
+    """Pad every member's ELL arrays to the batch-wide max widths so the
+    pytrees stack (padded entries are value 0 / index 0, the EllOp
+    convention)."""
+    import jax.numpy as jnp
+
+    from cuopt_tpu.sparse.ops import EllOp
+
+    ops = [d.op for d in devs]
+    if not all(isinstance(o, EllOp) for o in ops):
+        return devs
+    wr = max(o.row_vals.shape[1] for o in ops)
+    wc = max(o.col_vals.shape[1] for o in ops)
+
+    def pad(a, w):
+        return jnp.pad(a, ((0, 0), (0, w - a.shape[1])))
+
+    out = []
+    for d, o in zip(devs, ops):
+        out.append(d.replace(op=o.replace(
+            row_vals=pad(o.row_vals, wr), row_cols=pad(o.row_cols, wr),
+            col_vals=pad(o.col_vals, wc), col_rows=pad(o.col_rows, wc),
+        )))
+    return out

@@ -66,86 +66,100 @@ def _col_pad(op) -> int:
     return max(max_end, -(-op.n_cols // 128) * 128)
 
 
+_G = 8  # row tiles per grid step: row-space vectors then flow through
+# full (8, 128) vregs and their specs become static (8, 128) blocks;
+# per-(1,128)-op overhead and dynamic row indexing were the bottleneck
+# (measured 1.5us/tile with G=1, ~6x over the DMA floor)
+
+
 def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
             y_ref, lc_ref, uc_ref,
             ax_out, y_out, aty_out, *, W):
-    """Grid step t = one 128-row tile.
+    """Grid step g = _G row tiles (128 rows each).
 
-    2-D layouts throughout: row-space vectors are (T, 128) with one row
-    per tile; column-space vectors are (n_cols_pad/128, 128) so the
-    x-window read and the A^T y accumulation are dynamic SUBLANE-dim
-    slices (Mosaic supports arbitrary row offsets there; 1-D dynamic
-    slices would demand 1024-element alignment)."""
-    t = pl.program_id(0)
+    Column-space vectors are (n_cols_pad/128, 128); the x-window read and
+    the A^T y accumulation are dynamic SUBLANE-dim slices (Mosaic allows
+    arbitrary row offsets there; 1-D dynamic slices would demand
+    1024-element alignment)."""
+    g = pl.program_id(0)
     WB = W // 128
 
-    @pl.when(t == 0)
+    @pl.when(g == 0)
     def _():
         aty_out[...] = jnp.zeros_like(aty_out)
 
-    s128 = starts_ref[t]               # window start / 128 (host-divided)
-    xw = x_ref[pl.ds(s128, WB), :]     # (WB, 128) window of x_new
-    slab = slab_ref[0]                 # (128, W) dense slab of this tile
-    # VPU matvec, one 128-wide window block at a time (lane-regrouping
-    # reshapes like (W,)->(WB,128) are unsupported shape casts in
-    # Mosaic): accumulate the elementwise products, reduce lanes once
-    prod = slab[:, 0:128] * xw[0].reshape(1, 128)
-    for wb in range(1, WB):
-        prod = prod + slab[:, wb * 128:(wb + 1) * 128] * \
-            xw[wb].reshape(1, 128)
-    ax_slab = jnp.sum(prod, axis=1).reshape(1, 128)
-    ax_new = ax_slab + axs_ref[pl.ds(t, 1), :]   # + spill activity
-    ax_tilde = 2.0 * ax_new - axo_ref[pl.ds(t, 1), :]
+    # per-tile VPU matvec against the tile's x window
+    ax_rows = []
+    for i in range(_G):
+        s128 = starts_ref[g * _G + i]
+        xw = x_ref[pl.ds(s128, WB), :]          # (WB, 128)
+        slab = slab_ref[i]                      # (128, W)
+        prod = slab[:, 0:128] * xw[0].reshape(1, 128)
+        for wb in range(1, WB):
+            prod = prod + slab[:, wb * 128:(wb + 1) * 128] * \
+                xw[wb].reshape(1, 128)
+        ax_rows.append(jnp.sum(prod, axis=1))
+    ax_slab = jnp.stack(ax_rows)                # (_G, 128)
+    ax_new = ax_slab + axs_ref[...]             # + spill activity
+    ax_tilde = 2.0 * ax_new - axo_ref[...]
     sg = sigma_ref[0]
-    y = y_ref[pl.ds(t, 1), :]
+    y = y_ref[...]
     # two-sided dual prox; lc/uc arrive pre-masked (∓1e30 when infinite)
-    y_low = y + sg * (lc_ref[pl.ds(t, 1), :] - ax_tilde)
-    y_high = y + sg * (uc_ref[pl.ds(t, 1), :] - ax_tilde)
+    y_low = y + sg * (lc_ref[...] - ax_tilde)
+    y_high = y + sg * (uc_ref[...] - ax_tilde)
     y_new = jnp.where(
         y_low > 0.0, y_low,
         jnp.where(y_high < 0.0, y_high, jnp.zeros_like(y)),
     )
-    ax_out[pl.ds(t, 1), :] = ax_new
-    y_out[pl.ds(t, 1), :] = y_new
-    # transpose partial: y_tile^T A_tile accumulated into the x-window,
-    # per window block. MXU dot_general (1,128)@(128,128): measured ~5x
-    # faster than a lane->sublane transpose + VPU sublane reduce.
-    for wb in range(WB):
-        part = jax.lax.dot_general(
-            y_new, slab[:, wb * 128:(wb + 1) * 128],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, 128)
-        aty_out[pl.ds(s128 + wb, 1), :] += part
+    ax_out[...] = ax_new
+    y_out[...] = y_new
+    # transpose partials: y_tile^T A_tile accumulated into each tile's
+    # x-window; MXU dot (1,128)@(128,128) per window block
+    for i in range(_G):
+        s128 = starts_ref[g * _G + i]
+        y_i = y_new[i:i + 1, :]                 # (1, 128) static slice
+        slab = slab_ref[i]
+        for wb in range(WB):
+            part = jax.lax.dot_general(
+                y_i, slab[:, wb * 128:(wb + 1) * 128],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            aty_out[pl.ds(s128 + wb, 1), :] += part
 
 
 @partial(jax.jit, static_argnames=("T", "W", "n_cols_pad", "interpret"))
 def _row_pass(slabs, starts, sigma, x_pad2, ax_old2, ax_spill2, y2,
               lc2, uc2, *, T, W, n_cols_pad, interpret):
+    """T here is the PADDED tile count (multiple of _G)."""
     nbc = n_cols_pad // 128
 
     # Every spec carries an explicit index map whose components all
-    # derive from t: with scalar prefetch present, Mosaic rejects the
+    # derive from g: with scalar prefetch present, Mosaic rejects the
     # default constant maps (their i64 constants fail legalization).
     def whole(shape):
-        zeros = lambda t, *_: tuple(t * 0 for _ in shape)  # noqa: E731
+        zeros = lambda g, *_: tuple(g * 0 for _ in shape)  # noqa: E731
         return pl.BlockSpec(shape, zeros, memory_space=pltpu.VMEM)
+
+    def rows():
+        return pl.BlockSpec((_G, 128), lambda g, *_: (g, g * 0),
+                            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # starts, sigma
-        grid=(T,),
+        grid=(T // _G,),
         in_specs=[
-            pl.BlockSpec((1, 128, W), lambda t, *_: (t, t * 0, t * 0)),
+            pl.BlockSpec((_G, 128, W), lambda g, *_: (g, g * 0, g * 0)),
             whole((nbc, 128)),   # x
-            whole((T, 128)),     # ax_old
-            whole((T, 128)),     # ax_spill
-            whole((T, 128)),     # y
-            whole((T, 128)),     # lc masked
-            whole((T, 128)),     # uc masked
+            rows(),              # ax_old
+            rows(),              # ax_spill
+            rows(),              # y
+            rows(),              # lc masked
+            rows(),              # uc masked
         ],
         out_specs=[
-            whole((T, 128)),     # ax_new
-            whole((T, 128)),     # y_new
+            rows(),              # ax_new
+            rows(),              # y_new
             whole((nbc, 128)),   # aty accumulator
         ],
     )
@@ -194,20 +208,27 @@ def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,
     else:
         ax_spill = jnp.zeros((n_rows,), jnp.float32)
 
-    pad_r = T * 128 - n_rows
+    T_pad = -(-T // _G) * _G
+    pad_r = T_pad * 128 - n_rows
 
     def to2(v, fill=0.0):
-        return jnp.pad(v, (0, pad_r), constant_values=fill).reshape(T, 128)
+        return jnp.pad(v, (0, pad_r),
+                       constant_values=fill).reshape(T_pad, 128)
 
     x_pad2 = jnp.pad(x_new, (0, n_cols_pad - n_cols)).reshape(-1, 128)
-    starts = jnp.asarray([s // 128 for s in op.row_starts], jnp.int32)
+    slabs = op.row_slabs
+    if T_pad != T:
+        slabs = jnp.pad(slabs, ((0, T_pad - T), (0, 0), (0, 0)))
+    starts = jnp.asarray(
+        [s // 128 for s in op.row_starts] + [0] * (T_pad - T), jnp.int32
+    )
     sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(1)
 
     ax2, y2n, aty_pad = _row_pass(
-        op.row_slabs, starts, sigma_arr, x_pad2,
+        slabs, starts, sigma_arr, x_pad2,
         to2(ax_old), to2(ax_spill), to2(y),
         to2(lc0m, -1e30), to2(uc0m, 1e30),
-        T=T, W=W, n_cols_pad=n_cols_pad, interpret=interpret,
+        T=T_pad, W=W, n_cols_pad=n_cols_pad, interpret=interpret,
     )
     ax_new = ax2.reshape(-1)[:n_rows]
     y_new = y2n.reshape(-1)[:n_rows]

@@ -86,9 +86,29 @@ def _shard_operator(op, mesh: Mesh):
             col_rows=jax.device_put(op.col_rows, rep),
         )
     if isinstance(op, CsrOp):
-        # nnz-dim arrays are not row-partitionable without rebalancing;
-        # replicate for the dryrun
-        return jax.device_put(op, rep)
+        # shard the nnz-dim arrays across the mesh: pad each ordering to
+        # a device multiple with harmless zero entries (value 0 pointed
+        # at the LAST row/col keeps the segment ids sorted), then let
+        # GSPMD partition the gathers/segment-sums and insert the reduce
+        import jax.numpy as jnp
+
+        D = mesh.devices.size
+        nnz = op.csr_vals.shape[0]
+        pad = (-nnz) % D
+
+        def padv(a, fill):
+            return jnp.pad(a, (0, pad), constant_values=fill)
+
+        return op.replace(
+            csr_vals=jax.device_put(padv(op.csr_vals, 0.0), row),
+            csr_rows=jax.device_put(
+                padv(op.csr_rows, op.n_rows - 1), row),
+            csr_cols=jax.device_put(padv(op.csr_cols, 0), row),
+            csc_vals=jax.device_put(padv(op.csc_vals, 0.0), row),
+            csc_rows=jax.device_put(padv(op.csc_rows, 0), row),
+            csc_cols=jax.device_put(
+                padv(op.csc_cols, op.n_cols - 1), row),
+        )
     return jax.device_put(op, rep)
 
 

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--rows-per-dev", type=int, default=8192)
     ap.add_argument("--band", type=int, default=256)
     ap.add_argument("--majors", type=int, default=10)
+    ap.add_argument("--out", default=None,
+                    help="write a JSON artifact with the full table")
     args = ap.parse_args()
 
     if args.virtual and os.environ.get("_WEAK_SCALING_CHILD") != "1":
@@ -75,6 +77,9 @@ def main():
         rel_dual=t.relative_dual_tolerance,
         abs_gap=t.absolute_gap_tolerance,
         rel_gap=t.relative_gap_tolerance,
+        # the fused Pallas pass is single-chip; the sharded program uses
+        # the GSPMD einsum path with XLA-inserted collectives
+        fused_kernel="off",
     )
     fn = make_major_fn(cfg)
 
@@ -84,6 +89,7 @@ def main():
     while n_dev <= n_avail:
         counts.append(n_dev)
         n_dev *= 2
+    table = []
     for nd in counts:
         n_rows = args.rows_per_dev * nd
         prob = generate_lp(n_rows, n_rows, 8, seed=123, band=args.band)
@@ -102,11 +108,19 @@ def main():
         iters = int(report["total_steps"]) - start
         results[nd] = iters / dt
         eff = results[nd] / results[counts[0]]
-        print(json.dumps({
+        row = {
             "devices": nd, "rows": n_rows,
             "iters_per_s": round(results[nd], 2),
             "weak_scaling_efficiency": round(eff, 4),
-        }))
+        }
+        table.append(row)
+        print(json.dumps(row), flush=True)
+    if args.out:
+        json.dump({
+            "virtual_cpu_mesh": bool(args.virtual),
+            "rows_per_device": args.rows_per_dev,
+            "table": table,
+        }, open(args.out, "w"), indent=1)
     return 0
 
 

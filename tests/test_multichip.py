@@ -46,7 +46,7 @@ def _run_cpu8(*args, timeout=600):
     return r.stdout
 
 
-@pytest.mark.parametrize("kind", ["dense", "ell", "blockband"])
+@pytest.mark.parametrize("kind", ["dense", "ell", "blockband", "csr"])
 def test_sharded_major_matches_single_device(kind):
     out = _run_cpu8("equality", kind)
     assert "EQUALITY_OK" in out
@@ -92,12 +92,14 @@ def _check_equality(kind):
     from cuopt_tpu.sparse.ops import BlockBandOp, DenseOp, EllOp
 
     assert len(jax.devices()) >= 8, jax.devices()
+    from cuopt_tpu.sparse.ops import CsrOp
     expect = {"dense": DenseOp, "ell": EllOp,
-              "blockband": BlockBandOp}[kind]
+              "blockband": BlockBandOp, "csr": CsrOp}[kind]
     n_rows, n_cols = {
         "dense": (256, 192),
         "ell": (1024, 1024),
         "blockband": (2048, 2048),  # 16 row-tiles = 2 per device
+        "csr": (1024, 1024),
     }[kind]
     cfg, hp = _cfg()
     prob = generate_lp(n_rows, n_cols, 6, seed=3,
@@ -138,6 +140,14 @@ def _check_equality(kind):
         }
         assert all(sh[0] == dev.op.row_slabs.shape[0] // 8
                    for sh in shard_shapes), shard_shapes
+    if kind == "csr":
+        # nnz arrays must be distributed (padded to a device multiple)
+        padded = dev_s.op.csr_vals.shape[0]
+        shard_shapes = {
+            s.data.shape for s in dev_s.op.csr_vals.addressable_shards
+        }
+        assert all(sh[0] == padded // 8 for sh in shard_shapes), \
+            shard_shapes
     print("EQUALITY_OK")
 
 
