@@ -4,29 +4,41 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 The driver's north star (BASELINE.json) is the Mittelmann-set geomean +
-PDHG iters/s. The Mittelmann instances are network downloads (reference
-benchmarks/linear_programming/utils/get_datasets.py) and unavailable
-offline, so the recorded metric is the GEOMEAN of PDHG iterations/s over
-two fixed synthetic LPs (each 50k rows x 50k cols, 8 nnz/row, f32):
+"PDHG step at memory-bandwidth speed-of-light per chip". The Mittelmann
+instances are network downloads (reference benchmarks/linear_programming/
+utils/get_datasets.py) and unavailable offline, so the bench measures:
 
-  1. "staircase": banded/staircase structure — the dominant pattern of
-     the Mittelmann families (multiperiod, multicommodity, network LPs).
-     The auto operator selects the BlockBandOp MXU slab path.
-  2. "shuffled": the same matrix under a random row+column permutation —
-     unstructured to the eye. The auto operator must recover the band via
-     the bandwidth-reducing reordering (sparse/reorder.py + PermutedOp);
-     this is the general-pattern case cuOpt serves with cusparse CSR SpMV
-     (cusparse_view.hpp:30).
+  1. "staircase": 50k x 50k banded LP — the dominant Mittelmann pattern
+     (multiperiod/multicommodity/network LPs). The fused Pallas PDHG
+     kernel (lp/pdhg_pallas.py) serves it: ONE pass over the row slabs
+     per iteration computes Ax -> dual prox -> A^T y.
+  2. "shuffled": the same matrix under a random row+col permutation; the
+     operator must recover the band via reordering (sparse/reorder.py).
+  3. "stream_rate": a pure slab-streaming Pallas kernel — the measured
+     HBM speed-of-light of THIS chip for this access pattern.
 
-vs_baseline references 1000 iters/s — an H100-class cuOpt PDLP rate on
-problems of this size (order-of-magnitude anchor; the reference publishes
-no numeric tables, BASELINE.md).
+vs_baseline is the fraction of speed-of-light the PDHG step achieves:
+(slab bytes read per step / step time) / stream_rate. 1.0 = the memory-
+bound ideal of BASELINE.json; no reference wall-clock exists to compare
+against offline (BASELINE.md: the reference publishes no numbers).
+
+Precision note: all numbers are full-f32 SpMV (kernel max error vs f64
+ground truth ~7e-7 on the bench instance). Round-2's 2,456 it/s geomean
+was produced by XLA's DEFAULT matmul precision, which lowers f32 einsums
+to bf16 passes on TPU (measured 1.6e-2 relative SpMV error) — faster
+bytes, wrong math; ops.py now forces HIGHEST precision on the fallback
+einsum path.
+
+Also recorded in detail: the virtual-mesh weak-scaling table artifact
+(WEAKSCALING_r03.json) when present — structural validation + an HLO
+collective-volume model (a CPU mesh cannot measure bandwidth).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -35,12 +47,12 @@ N_COLS = 50_000
 NNZ_PER_ROW = 8
 BAND = 256
 WARMUP_MAJORS = 2
-BENCH_MAJORS = 50
-BASELINE_ITERS_PER_S = 1000.0
+BENCH_MAJORS = 40
 
 
 def _bench_instance(prob, cfg, hp, operator_kind):
     import jax
+    import numpy as np
     import jax.numpy as jnp
 
     from cuopt_tpu.lp.pdlp import (
@@ -55,16 +67,69 @@ def _bench_instance(prob, cfg, hp, operator_kind):
 
     for _ in range(WARMUP_MAJORS):
         state, report = fn(dev, state)
-    jax.block_until_ready(report)
-    start_steps = int(report["total_steps"])
+    start_steps = int(np.asarray(report["total_steps"]))  # forces sync
 
     t0 = time.perf_counter()
     for _ in range(BENCH_MAJORS):
         state, report = fn(dev, state)
-    jax.block_until_ready(report)
+    steps = int(np.asarray(report["total_steps"])) - start_steps
     elapsed = time.perf_counter() - t0
-    steps = int(report["total_steps"]) - start_steps
-    return steps / elapsed
+    inner = dev.op
+    slab_bytes = int(inner.row_slabs.size) * 4
+    return steps / elapsed, slab_bytes, steps, elapsed
+
+
+def _stream_rate(T=392, W=384, iters=60):
+    """Measured HBM streaming speed-of-light for the slab access pattern
+    (read (G,128,W) blocks, trivial compute)."""
+    from functools import partial
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu":
+        return None
+    G = 8
+    slabs = jnp.asarray(
+        np.random.default_rng(0).random((T, 128, W), np.float32)
+    )
+    rows = jnp.zeros((T, 128), jnp.float32)
+
+    def k(slab_ref, y_ref, out_ref):
+        acc = jnp.zeros((1, 128), jnp.float32)
+        for i in range(G):
+            acc = acc + jnp.sum(
+                slab_ref[i][:, 0:128], axis=0
+            ).reshape(1, 128)
+        out_ref[...] = jnp.broadcast_to(acc, (G, 128)) + y_ref[...] * 1e-9
+
+    gs = pl.GridSpec(
+        grid=(T // G,),
+        in_specs=[pl.BlockSpec((G, 128, W), lambda g: (g, 0, 0)),
+                  pl.BlockSpec((G, 128), lambda g: (g, 0))],
+        out_specs=pl.BlockSpec((G, 128), lambda g: (g, 0)),
+    )
+
+    def call(y):
+        return pl.pallas_call(
+            k, grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((T, 128), jnp.float32),
+        )(slabs, y)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def loop(y, n):
+        return jax.lax.fori_loop(0, n, lambda i, y: call(y), y)
+
+    r = loop(rows, iters)
+    np.asarray(r)
+    t0 = time.perf_counter()
+    r = loop(rows, iters)
+    np.asarray(r)
+    dt = (time.perf_counter() - t0) / iters
+    return slabs.size * 4 / dt
 
 
 def main():
@@ -90,7 +155,9 @@ def main():
     )
 
     prob = generate_lp(N_ROWS, N_COLS, NNZ_PER_ROW, seed=123, band=BAND)
-    staircase = _bench_instance(prob, cfg, hp, "auto")
+    stair, slab_bytes, steps_s, el_s = _bench_instance(
+        prob, cfg, hp, "auto"
+    )
 
     # unstructured: same instance under a random row+col permutation
     rng = np.random.default_rng(7)
@@ -108,18 +175,38 @@ def main():
         variable_lower_bounds=prob.variable_lower_bounds[cp],
         variable_upper_bounds=prob.variable_upper_bounds[cp],
     )
-    unstructured = _bench_instance(shuffled, cfg, hp, "auto")
+    unstructured, _, _, _ = _bench_instance(shuffled, cfg, hp, "auto")
 
-    geomean = math.sqrt(staircase * unstructured)
+    stream = _stream_rate()
+    geomean = math.sqrt(stair * unstructured)
+    eff_gbps = stair * slab_bytes
+    sol_fraction = eff_gbps / stream if stream else None
+
+    detail = {
+        "staircase_iters_per_s": round(stair, 2),
+        "shuffled_unstructured_iters_per_s": round(unstructured, 2),
+        "slab_bytes_per_iter": slab_bytes,
+        "pdhg_effective_gbps": round(eff_gbps / 1e9, 1),
+        "measured_stream_speed_of_light_gbps":
+            round(stream / 1e9, 1) if stream else None,
+        "precision": "f32 SpMV (HIGHEST); see module docstring re r02 "
+                     "bf16 comparison",
+    }
+    ws_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "WEAKSCALING_r03.json")
+    if os.path.exists(ws_path):
+        try:
+            ws = json.load(open(ws_path))
+            detail["weak_scaling_hlo_model"] = ws.get("hlo_analysis")
+        except Exception:  # noqa: BLE001
+            pass
     print(json.dumps({
         "metric": "pdhg_iters_per_s_synth50k_geomean",
         "value": round(geomean, 2),
         "unit": "iters/s",
-        "vs_baseline": round(geomean / BASELINE_ITERS_PER_S, 4),
-        "detail": {
-            "staircase_iters_per_s": round(staircase, 2),
-            "shuffled_unstructured_iters_per_s": round(unstructured, 2),
-        },
+        "vs_baseline": round(sol_fraction, 4) if sol_fraction else
+        round(geomean / 1000.0, 4),
+        "detail": detail,
     }))
     return 0
 

@@ -696,3 +696,90 @@ def evaluate_moves_topk(p: LsProblem, R, lens, kf: int = 8):
     kinds = jnp.concatenate([o[1] for o in outs])
     mvs = jnp.concatenate([o[2] for o in outs])
     return deltas, kinds, mvs
+
+
+@jax.jit
+def evaluate_cycle_gains(p: LsProblem, R, lens):
+    """Best single-order relocation gain between every ordered route pair.
+
+    Returns (gain (F, F), pos (F, F), slot (F, F)): gain[r1, r2] = best
+    delta of moving ONE order of r1 into r2, with r2's capacity relaxed
+    by its smallest movable demand (in an exchange CYCLE every route also
+    loses an order; the host re-checks the assembled cycle exactly).
+    This is the TPU-first analogue of the reference cycle finder's
+    per-pair relocation gains (local_search/cycle_finder/cycle_finder.cu:
+    device hash maps of best moves); the negative-cycle search over the
+    (F, F) matrix runs on host (F is small).
+    """
+    F, L = R.shape
+    locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
+        p, R, lens
+    )
+    Rc = jnp.where(valid, R, 0)
+    fvec = jnp.arange(F)
+    ar = fvec[:, None]
+    pos = jnp.arange(L)
+    prev_loc = locs[ar, pos]
+    u_loc = locs[ar, pos + 1]
+    next_loc = locs[ar, pos + 2]
+    c_rem = cmat[ar, prev_loc, u_loc] + cmat[ar, u_loc, next_loc] - \
+        cmat[ar, prev_loc, next_loc]          # (F1, L) removal saving
+    u_loc_flat = p.order_loc[Rc]
+    q_loc = locs[:, :L + 1]
+    qn_loc = locs[:, 1:L + 2]
+    cA = cmat[fvec[:, None, None, None], q_loc[:, :, None, None],
+              u_loc_flat[None, None]]
+    cB = cmat[fvec[:, None, None, None], u_loc_flat[None, None],
+              qn_loc[:, :, None, None]]
+    cC = cmat[fvec[:, None], q_loc, qn_loc][:, :, None, None]
+    ins = cA + cB - cC                        # (F2, L+1, F1, L)
+    delta = ins - c_rem[None, None]
+
+    u_movable = valid & p.movable[Rc]
+    u_dem = p.demand[:, Rc]                   # (ndim, F1, L)
+    # r2's smallest movable demand (it loses one order in the cycle)
+    dem_mov = jnp.where(u_movable[None], u_dem, jnp.inf)
+    min_out = jnp.min(dem_mov, axis=2)        # (ndim, F2)
+    min_out = jnp.where(jnp.isfinite(min_out), min_out, 0.0)
+    cap_ok = jnp.all(
+        load[:, :, None, None, None] - min_out[:, :, None, None, None]
+        + u_dem[:, None, None]
+        <= p.capacity[:, :, None, None, None] + 1e-6, axis=0,
+    )[:, 0]                                   # (F2, F1, L)
+    allowed_ok = jnp.transpose(p.allowed[Rc], (2, 0, 1))
+    slot_ok = (jnp.arange(L + 1)[None, :] <= lens[:, None])
+    if p.has_tw:
+        t2 = tmat
+        tA = t2[fvec[:, None, None, None], q_loc[:, :, None, None],
+                u_loc_flat[None, None]]
+        tB = t2[fvec[:, None, None, None], u_loc_flat[None, None],
+                qn_loc[:, :, None, None]]
+        dep_slot = dep[:, :L + 1]
+        arr_u = jnp.maximum(
+            dep_slot[:, :, None, None] + tA, p.e[Rc][None, None]
+        )
+        ok_u = arr_u <= p.l[Rc][None, None] + 1e-6
+        ok_n = arr_u + p.s[Rc][None, None] + tB <= \
+            lat[:, 1:L + 2][:, :, None, None] + 1e-6
+        tw_ok = ok_u & ok_n
+    else:
+        tw_ok = jnp.ones_like(delta, bool)
+    same = fvec[:, None, None, None] == fvec[None, None, :, None]
+    mask = (
+        slot_ok[:, :, None, None]
+        & u_movable[None, None]
+        & cap_ok[:, None]
+        & allowed_ok[:, None]
+        & tw_ok
+        & ~same
+        & (lens[:, None, None, None] + 1 <= L)
+    )
+    score = jnp.where(mask, delta, BIG)       # (F2, L+1, F1, L)
+    # reduce to per-(r1 -> r2) best move
+    sc = jnp.transpose(score, (2, 0, 1, 3))   # (F1, F2, L+1, L)
+    flat = sc.reshape(F, F, -1)
+    best = jnp.min(flat, axis=2)              # (F1, F2)
+    argb = jnp.argmin(flat, axis=2)
+    slot_idx = argb // L
+    pos_idx = argb % L
+    return best, pos_idx.astype(jnp.int32), slot_idx.astype(jnp.int32)

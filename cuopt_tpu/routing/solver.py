@@ -141,7 +141,20 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
             touched.update((va, vb))
             applied += 1
         if applied == 0:
-            break
+            # pairwise families exhausted: try multi-route exchange
+            # cycles (reference cycle_finder.cu) before giving up
+            from cuopt_tpu.routing.cycle_finder import cycle_search
+
+            if timer.expired():
+                break
+            routes, improved = cycle_search(prob, lsp, routes)
+            if prob.precedence and improved:
+                from cuopt_tpu.routing.internal import precedence_ok
+
+                if not precedence_ok(prob, routes):
+                    break
+            if not improved:
+                break
     return routes
 
 
@@ -318,13 +331,20 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     # evolutionary diversity loop: recombine / mutate, polish with the
     # jitted local search, manage the population (reference
     # diversity/diverse_solver.hpp:151 main loop)
+    from cuopt_tpu.routing.eax import eax, eax_applicable
+
+    eax_ok = eax_applicable(prob)
     while not timer.expired() and prob.n_serve > 1:
         pa, pb = pop.parents(rng)
         op = rng.random()
         child = None
-        if op < 0.35 and pa is not pb:
+        if eax_ok and op < 0.30 and pa is not pb:
+            # EAX: the reference's strongest recombiner
+            # (crossovers/eax_recombiner.hpp)
+            child = eax(prob, pa, pb, rng)
+        if child is None and op < 0.50 and pa is not pb:
             child = srex(prob, pa, pb, rng)
-        elif op < 0.45:
+        elif child is None and op < 0.60:
             ox = ox_single_route(prob, pa, pb, rng)
             if ox is not None:
                 child = ox
