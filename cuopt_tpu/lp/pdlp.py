@@ -293,6 +293,9 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
     eta_next, x_new, y_new, ax_new, aty_new, eta_used, valid, attempts = (
         jax.lax.while_loop(cond, attempt, init)
     )
+    from cuopt_tpu.utils.tracing import debug_assert
+
+    debug_assert(eta_next > 0.0, "PDHG step size must stay positive")
 
     # weighted average update with weight = accepted step size
     w = eta_used
@@ -602,12 +605,18 @@ from functools import lru_cache as _lru_cache  # noqa: E402
 def _cached_major_fn(cfg: StaticCfg):
 
     def major(dev: DeviceProblem, s: SolverState):
-        s = jax.lax.fori_loop(
-            0, cfg.hp.major_iteration,
-            lambda i, st: _take_step(dev, st, cfg), s,
-        )
+        from cuopt_tpu.utils.tracing import trace_scope
+
+        with trace_scope("pdlp_pdhg_steps"):
+            s = jax.lax.fori_loop(
+                0, cfg.hp.major_iteration,
+                lambda i, st: _take_step(dev, st, cfg), s,
+            )
         # termination info in user space, for current and average iterates
-        info_cur = _unscaled_info(dev, s.x, s.y, s.ax, s.aty)
+        from cuopt_tpu.utils.tracing import trace_scope as _ts
+
+        with _ts("pdlp_termination"):
+            info_cur = _unscaled_info(dev, s.x, s.y, s.ax, s.aty)
         has_avg = s.sum_weights > 0.0
         avg_x = jnp.where(has_avg, s.avg_x, s.x)
         avg_y = jnp.where(has_avg, s.avg_y, s.y)
@@ -892,6 +901,9 @@ class PdlpSolver:
         self.log = get_logger()
 
     def run(self, timer: Timer | None = None):
+        from cuopt_tpu.utils.tracing import maybe_start_profile
+
+        maybe_start_profile()
         settings = self.settings
         timer = timer or Timer(settings.time_limit)
         dev = build_device_problem(

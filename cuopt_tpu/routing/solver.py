@@ -334,6 +334,16 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     from cuopt_tpu.routing.eax import eax, eax_applicable
 
     eax_ok = eax_applicable(prob)
+    # intermediate best-result dumps (reference solver_settings.hpp:97
+    # dump_best_results(interval, file)): write the incumbent's routes
+    # every `interval` seconds while the diversity loop runs
+    import time as _time
+
+    dump_path = settings.best_results_file_path
+    dump_interval = settings.best_results_interval or 0.0
+    last_dump = _time.monotonic()
+    if dump_path:
+        _dump_best(prob, pop.best, dump_path)
     while not timer.expired() and prob.n_serve > 1:
         pa, pb = pop.parents(rng)
         op = rng.random()
@@ -356,8 +366,14 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
         if prob.prizes is not None:
             routes, un2 = prize_filter(prob, routes, un2)
         pop.add(prob, routes, un2)
+        if dump_path and dump_interval and \
+                _time.monotonic() - last_dump >= dump_interval:
+            _dump_best(prob, pop.best, dump_path)
+            last_dump = _time.monotonic()
 
     best = pop.best
+    if dump_path:
+        _dump_best(prob, best, dump_path)
     best_routes = best["routes"]
     best_unassigned = best["unassigned"]
 
@@ -583,3 +599,28 @@ def _build_assignment(prob, routes, unassigned, timer, dm):
             int(prob.serve_orders[o]) for o in unassigned
         ],
     )
+
+
+def _dump_best(prob, best, path):
+    """Write the current best solution as JSON (routes in original order
+    ids) — the reference dumps intermediate best assignments to the
+    configured file on an interval (solver_settings.hpp:97)."""
+    import json
+
+    try:
+        routes = {
+            int(v): [int(prob.serve_orders[o]) for o in r]
+            for v, r in best["routes"].items() if r
+        }
+        payload = {
+            "cost": float(prob.solution_cost(best["routes"])),
+            "num_vehicles": len(routes),
+            "routes": routes,
+            "unassigned": [
+                int(prob.serve_orders[o]) for o in best["unassigned"]
+            ],
+        }
+        with open(path, "w") as fh:
+            json.dump(payload, fh)
+    except Exception:  # noqa: BLE001 — dumps must never kill the solve
+        pass
