@@ -42,6 +42,14 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: the fused-PDHG major program takes
+# minutes to compile over this environment's remote-compile tunnel;
+# cache it across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/cuopt_tpu_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 N_ROWS = 50_000
 N_COLS = 50_000
 NNZ_PER_ROW = 8

@@ -664,6 +664,117 @@ class DualSimplex {
 
 }  // namespace tpu_simplex
 
+namespace tpu_simplex {
+
+// --------------------------------------------------------------- presolve
+// Host presolve (reference cpp/src/dual_simplex/presolve.cpp,
+// singletons.cpp, scaling.cpp roles):
+//  - singleton-row implied bound tightening: a row with one nonzero is a
+//    bound on its variable; tightening it up front removes degenerate
+//    ratio-test pivots (the row itself stays, served by its slack);
+//  - geometric-mean equilibration: A' = R A C with 3 alternating passes
+//    of row/col scales 1/sqrt(min*max |a|) — stabilizes badly scaled
+//    instances (kBig bound handling in particular).
+// Returns false when implied bounds prove infeasibility.
+struct Prescale {
+  std::vector<double> rowscale, colscale;
+};
+
+inline bool PresolveInPlace(int m, int n, const int64_t* col_ptr,
+                            const int64_t* row_ind,
+                            std::vector<double>& values,
+                            std::vector<double>& c,
+                            std::vector<double>& var_lo,
+                            std::vector<double>& var_up,
+                            std::vector<double>& row_lo,
+                            std::vector<double>& row_up,
+                            Prescale* ps, bool do_scale) {
+  const double kInf = std::numeric_limits<double>::infinity();
+  // --- singleton-row implied bounds (on the ORIGINAL data)
+  std::vector<int> row_nnz(m, 0);
+  const int64_t nnz = col_ptr[n];
+  for (int64_t k = 0; k < nnz; ++k) row_nnz[row_ind[k]]++;
+  for (int j = 0; j < n; ++j) {
+    for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k) {
+      const int i = static_cast<int>(row_ind[k]);
+      if (row_nnz[i] != 1) continue;
+      const double a = values[k];
+      if (std::fabs(a) < 1e-12) continue;
+      double lo = row_lo[i], up = row_up[i];
+      double bl = (a > 0 ? lo : up) / a;   // lower implied bound
+      double bu = (a > 0 ? up : lo) / a;
+      if (std::isfinite(bl) && bl > var_lo[j]) var_lo[j] = bl;
+      if (std::isfinite(bu) && bu < var_up[j]) var_up[j] = bu;
+      if (var_lo[j] > var_up[j] + 1e-9) return false;
+    }
+  }
+  // --- geometric-mean equilibration
+  ps->rowscale.assign(m, 1.0);
+  ps->colscale.assign(n, 1.0);
+  std::vector<double> rmin(m), rmax(m);
+  for (int pass = 0; pass < (do_scale ? 3 : 0); ++pass) {
+    // columns
+    for (int j = 0; j < n; ++j) {
+      double mn = kInf, mx = 0.0;
+      for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k) {
+        const double a = std::fabs(values[k]);
+        if (a > 0) { mn = std::min(mn, a); mx = std::max(mx, a); }
+      }
+      if (mx <= 0.0) continue;
+      const double s = 1.0 / std::sqrt(mn * mx);
+      if (s > 0 && std::isfinite(s) && std::fabs(s - 1.0) > 1e-12) {
+        for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k)
+          values[k] *= s;
+        ps->colscale[j] *= s;
+      }
+    }
+    // rows
+    std::fill(rmin.begin(), rmin.end(), kInf);
+    std::fill(rmax.begin(), rmax.end(), 0.0);
+    for (int j = 0; j < n; ++j) {
+      for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k) {
+        const double a = std::fabs(values[k]);
+        const int i = static_cast<int>(row_ind[k]);
+        if (a > 0) {
+          rmin[i] = std::min(rmin[i], a);
+          rmax[i] = std::max(rmax[i], a);
+        }
+      }
+    }
+    std::vector<double> rs(m, 1.0);
+    bool any = false;
+    for (int i = 0; i < m; ++i) {
+      if (rmax[i] <= 0.0) continue;
+      const double s = 1.0 / std::sqrt(rmin[i] * rmax[i]);
+      if (s > 0 && std::isfinite(s) && std::fabs(s - 1.0) > 1e-12) {
+        rs[i] = s;
+        ps->rowscale[i] *= s;
+        any = true;
+      }
+    }
+    if (any) {
+      for (int64_t k = 0; k < nnz; ++k) values[k] *= rs[row_ind[k]];
+    }
+  }
+  // transform the problem into scaled space:
+  //   x' = x / C  ->  var bounds divide by C;  c' = C c
+  //   row activity' = R * activity -> row bounds multiply by R
+  for (int j = 0; j < n; ++j) {
+    const double cs = ps->colscale[j];
+    c[j] *= cs;
+    if (std::isfinite(var_lo[j])) var_lo[j] /= cs;
+    if (std::isfinite(var_up[j])) var_up[j] /= cs;
+  }
+  for (int i = 0; i < m; ++i) {
+    const double rsv = ps->rowscale[i];
+    if (std::isfinite(row_lo[i])) row_lo[i] *= rsv;
+    if (std::isfinite(row_up[i])) row_up[i] *= rsv;
+  }
+  return true;
+}
+
+}  // namespace tpu_simplex
+
 extern "C" {
 
 // Extended C ABI. vstat_in (nullable int8[n+m]): warm basis/placements.
@@ -686,12 +797,33 @@ int ds_solve_adv(int m, int n, const int64_t* col_ptr,
   p.row_ind.assign(row_ind, row_ind + nnz);
   p.values.assign(values, values + nnz);
   p.c.assign(c, c + n);
+  std::vector<double> vlo(var_lo, var_lo + n), vup(var_up, var_up + n);
+  std::vector<double> rlo(row_lo, row_lo + m), rup(row_up, row_up + m);
+  tpu_simplex::Prescale ps;
+  // the crossover crash (y_hint, no warm basis) selects basic candidates
+  // with PDLP-accuracy thresholds calibrated in USER units; geometric
+  // scaling distorts them, so scale only cold / warm-basis solves
+  const bool do_scale = (vstat_in != nullptr) || (y_hint == nullptr);
+  if (!tpu_simplex::PresolveInPlace(m, n, col_ptr, row_ind, p.values,
+                                    p.c, vlo, vup, rlo, rup, &ps,
+                                    do_scale))
+    return tpu_simplex::kInfeasible;
   p.lo.resize(n + m);
   p.up.resize(n + m);
-  for (int j = 0; j < n; ++j) { p.lo[j] = var_lo[j]; p.up[j] = var_up[j]; }
+  for (int j = 0; j < n; ++j) { p.lo[j] = vlo[j]; p.up[j] = vup[j]; }
   for (int i = 0; i < m; ++i) {
-    p.lo[n + i] = row_lo[i];
-    p.up[n + i] = row_up[i];
+    p.lo[n + i] = rlo[i];
+    p.up[n + i] = rup[i];
+  }
+  // warm hints move into scaled space
+  std::vector<double> xh, yh;
+  if (x_hint) {
+    xh.assign(x_hint, x_hint + n);
+    for (int j = 0; j < n; ++j) xh[j] /= ps.colscale[j];
+  }
+  if (y_hint) {
+    yh.assign(y_hint, y_hint + m);
+    for (int i = 0; i < m; ++i) yh[i] /= ps.rowscale[i];
   }
   tpu_simplex::DualSimplex solver(p);
   std::vector<double> x, y, dj;
@@ -699,8 +831,13 @@ int ds_solve_adv(int m, int n, const int64_t* col_ptr,
   int iters = 0;
   const int status = solver.Solve(
       time_limit, iter_limit,
-      reinterpret_cast<const volatile int*>(halt), vstat_in, x_hint,
-      y_hint, &x, &y, &dj, vstat_out ? &vstat : nullptr, &iters);
+      reinterpret_cast<const volatile int*>(halt), vstat_in,
+      x_hint ? xh.data() : nullptr, y_hint ? yh.data() : nullptr,
+      &x, &y, &dj, vstat_out ? &vstat : nullptr, &iters);
+  // unscale: x = C x', y = R y', dj = dj' / C
+  for (int j = 0; j < n; ++j) x[j] *= ps.colscale[j];
+  for (int i = 0; i < m; ++i) y[i] *= ps.rowscale[i];
+  for (int j = 0; j < n; ++j) dj[j] /= ps.colscale[j];
   std::memcpy(x_out, x.data(), sizeof(double) * n);
   std::memcpy(y_out, y.data(), sizeof(double) * m);
   std::memcpy(dj_out, dj.data(), sizeof(double) * n);

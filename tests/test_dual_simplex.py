@@ -209,3 +209,60 @@ class TestCrossover:
         assert abs(sol.get_primal_objective() + 464.7531428571428) < 1e-6
         info = sol.get_additional_termination_information()
         assert info.get("solved_by") == "pdlp+crossover"
+
+
+def test_presolve_scaling_badly_scaled_lp():
+    """Native presolve (singleton implied bounds + geometric-mean
+    scaling, reference presolve.cpp/scaling.cpp roles): a badly scaled
+    LP must still reach the true optimum."""
+    import numpy as np
+
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+    from cuopt_tpu.lp.settings import PDLPSolverSettings as Settings
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+    from cuopt_tpu.utils.timer import Timer
+
+    # min -1e-6 x0 - 1e6 x1  s.t. 1e6 x0 + 1e-6 x1 <= 1e6;
+    #                             1e-6 x0 + 1e6 x1 <= 1e6;  x in [0, 1e7]
+    A = np.array([[1e6, 1e-6], [1e-6, 1e6]])
+    p = OptimizationProblem.from_dense(
+        A,
+        c=np.array([-1e-6, -1e6]),
+        constraint_lower=np.array([-np.inf, -np.inf]),
+        constraint_upper=np.array([1e6, 1e6]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.full(2, 1e7),
+    )
+    s = Settings()
+    raw = solve_lp_simplex(p, s, Timer(60))
+    assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    # optimum: x1 ~= (1e6 - 1e-6 x0)/1e6 ~= 1, x0 ~= (1e6 - 1e-6)/1e6 ~ 1
+    x = raw["primal_solution"]
+    assert abs(x[1] - 1.0) < 1e-4
+    assert raw["primal_objective"] < -0.99e6
+
+
+def test_presolve_singleton_row_infeasible():
+    """Conflicting singleton rows must be proven infeasible in presolve."""
+    import numpy as np
+
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+    from cuopt_tpu.lp.settings import PDLPSolverSettings as Settings
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+    from cuopt_tpu.utils.timer import Timer
+
+    # x0 >= 5 and x0 <= 3 via two singleton rows
+    A = np.array([[1.0], [1.0]])
+    p = OptimizationProblem.from_dense(
+        A,
+        c=np.array([1.0]),
+        constraint_lower=np.array([5.0, -np.inf]),
+        constraint_upper=np.array([np.inf, 3.0]),
+        variable_lower=np.array([-10.0]),
+        variable_upper=np.array([10.0]),
+    )
+    s = Settings()
+    raw = solve_lp_simplex(p, s, Timer(60))
+    assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE
