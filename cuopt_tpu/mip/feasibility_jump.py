@@ -16,6 +16,18 @@ Algorithm (Luteberget-style FJ): keep per-constraint weights w; each step
 move the variable/value with the best weighted-violation decrease
 (breakpoint candidates per incident row); at a local minimum, bump the
 weights of violated rows.
+
+Mode variants (reference fj modes, feasibility_jump.cuh:93-102):
+  - per-climber OBJECTIVE WEIGHT: each vmapped climber carries its own
+    objective/violation trade-off, from pure-feasibility (0 — the
+    "on-zero" analogue, seeded from the zero assignment) to
+    objective-greedy;
+  - ANNEALING: the objective weight decays at every stall (weight bump),
+    so a climber that cannot find feasibility turns into a pure
+    feasibility search over time;
+  - Lagrangian-style weight DECAY (lagrangian.cuh role): bumps use
+    w <- rho*w + (1+viol) so stale constraint weights fade instead of
+    growing without bound.
 """
 
 from __future__ import annotations
@@ -57,6 +69,7 @@ class FjState:
     has_feasible: jax.Array  # bool
     key: jax.Array
     steps: jax.Array
+    obj_weight: jax.Array  # per-climber scalar (annealed on stalls)
 
 
 def _violation(act, p: FjProblem):
@@ -99,7 +112,7 @@ def make_fj_problem(prob, dtype=jnp.float64) -> FjProblem:
     )
 
 
-def init_state(p: FjProblem, x0, seed) -> FjState:
+def init_state(p: FjProblem, x0, seed, obj_weight=1e-3) -> FjState:
     x = jnp.clip(jnp.asarray(x0, p.c.dtype), p.lv, p.uv)
     x = jnp.where(p.is_int, jnp.round(x), x)
     act = jnp.sum(p.row_vals * x[p.row_cols], axis=1)
@@ -114,10 +127,11 @@ def init_state(p: FjProblem, x0, seed) -> FjState:
         has_feasible=feas,
         key=jax.random.PRNGKey(seed),
         steps=jnp.zeros((), jnp.int32),
+        obj_weight=jnp.asarray(obj_weight, p.c.dtype),
     )
 
 
-def _fj_step(p: FjProblem, s: FjState, obj_weight):
+def _fj_step(p: FjProblem, s: FjState):
     m, Lc = p.col_vals.shape
     dtype = s.x.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
@@ -155,7 +169,7 @@ def _fj_step(p: FjProblem, s: FjState, obj_weight):
     )
     wj = (s.w[p.col_rows] * p.col_mask)[:, :, None]
     score = jnp.sum(wj * (viol_new - viol_old), axis=1)  # (m, K)
-    score = score + obj_weight * p.c[:, None] * dx
+    score = score + s.obj_weight * p.c[:, None] * dx
     score = jnp.where(dx == 0.0, big, score)
 
     flat = jnp.argmin(score)
@@ -174,10 +188,12 @@ def _fj_step(p: FjProblem, s: FjState, obj_weight):
 
     def bump_weights(s):
         v = _violation(s.act, p)
-        w_new = s.w + jnp.where(v > 0, 1.0 + v, 0.0)
-        # occasional random restart kick: jump one random int var
+        # Lagrangian-style decayed bump: stale weights fade (rho = 0.95)
+        w_new = 0.95 * s.w + jnp.where(v > 0, 1.0 + v, 0.05 * s.w)
         key, sub = jax.random.split(s.key)
-        return s.replace(w=w_new, key=key)
+        # annealing: stalls shift the climber toward pure feasibility
+        return s.replace(w=w_new, key=key,
+                         obj_weight=s.obj_weight * 0.9)
 
     improving = best_score < -1e-9
     s = jax.lax.cond(improving, apply_move, bump_weights, s)
@@ -195,13 +211,14 @@ def _fj_step(p: FjProblem, s: FjState, obj_weight):
     )
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def fj_chunk(p: FjProblem, states: FjState, n_steps: int, obj_weight: float):
-    """Run n_steps FJ iterations on a BATCH of climbers (vmapped)."""
+@partial(jax.jit, static_argnums=(2,))
+def fj_chunk(p: FjProblem, states: FjState, n_steps: int):
+    """Run n_steps FJ iterations on a BATCH of climbers (vmapped); each
+    climber carries its own (annealing) objective weight."""
 
     def one(s):
         return jax.lax.fori_loop(
-            0, n_steps, lambda i, st: _fj_step(p, st, obj_weight), s
+            0, n_steps, lambda i, st: _fj_step(p, st), s
         )
 
     return jax.vmap(one)(states)
@@ -217,11 +234,21 @@ def run_feasibility_jump(
     import time
 
     p = make_fj_problem(prob, dtype)
-    states = [init_state(p, x0, seed + i) for i, x0 in enumerate(x_starts)]
+    # mode spread over the climber batch: given starts at graded
+    # objective weights, plus an "on-zero" pure-feasibility climber
+    weights = [obj_weight, 10 * obj_weight, 0.1 * obj_weight, 0.0]
+    states = [
+        init_state(p, x0, seed + i, weights[i % len(weights)])
+        for i, x0 in enumerate(x_starts)
+    ]
+    states.append(init_state(
+        p, jnp.zeros((prob.n_variables,), dtype),
+        seed + len(states), 0.0,
+    ))
     batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
     t_end = time.monotonic() + time_budget_s
     while True:
-        batch = fj_chunk(p, batch, steps_per_chunk, obj_weight)
+        batch = fj_chunk(p, batch, steps_per_chunk)
         found = bool(jnp.any(batch.has_feasible))
         if time.monotonic() >= t_end:
             break

@@ -236,3 +236,89 @@ def probe_variables(
             lv = np.maximum(lv, hull_lv)
             uv = np.minimum(uv, hull_uv)
     return ProbeResult(lv, uv, False, len(cand), n_fixed, tightened)
+
+
+@dataclass
+class TrivialReduction:
+    """Variable-elimination presolve result (reference
+    trivial_presolve.cuh: fix/eliminate variables, compact the CSR with
+    remove_if). `keep` maps reduced -> original columns; `x_fixed` holds
+    the eliminated variables' values."""
+
+    problem: object
+    keep: np.ndarray       # (m_red,) original column of each kept var
+    x_fixed: np.ndarray    # (m,) values, valid where fixed mask True
+    fixed: np.ndarray      # (m,) bool
+
+    def postsolve(self, x_reduced):
+        x = self.x_fixed.copy()
+        x[self.keep] = np.asarray(x_reduced, float)
+        return x
+
+    def project(self, x_full):
+        return np.asarray(x_full, float)[self.keep]
+
+
+def eliminate_fixed(prob, lv, uv, int_tol=1e-6):
+    """Eliminate variables whose propagated bounds coincide: their terms
+    move into the constraint bounds and the CSR is compacted. Returns a
+    TrivialReduction, or None when nothing is fixed (or everything is —
+    the caller's all-fixed fast path handles that)."""
+    lv = np.asarray(lv, float)
+    uv = np.asarray(uv, float)
+    fixed = np.isfinite(lv) & np.isfinite(uv) & (uv - lv <= int_tol)
+    n_fixed = int(fixed.sum())
+    if n_fixed == 0 or n_fixed == prob.n_variables:
+        return None
+    xf = np.zeros(prob.n_variables)
+    xf[fixed] = 0.5 * (lv[fixed] + uv[fixed])
+    is_int = prob.variable_types == "I"
+    xf[fixed & is_int] = np.round(xf[fixed & is_int])
+
+    # constant contribution of fixed vars to each row
+    rows = np.repeat(np.arange(prob.n_constraints),
+                     np.diff(prob.offsets))
+    keep_entry = ~fixed[prob.indices]
+    shift = np.zeros(prob.n_constraints)
+    drop = ~keep_entry
+    np.add.at(shift, rows[drop],
+              prob.values[drop] * xf[prob.indices[drop]])
+
+    # compact CSR over kept entries + remap columns
+    keep_cols = np.flatnonzero(~fixed)
+    new_col = np.full(prob.n_variables, -1, np.int64)
+    new_col[keep_cols] = np.arange(len(keep_cols))
+    new_vals = prob.values[keep_entry]
+    new_idx = new_col[prob.indices[keep_entry]]
+    counts = np.zeros(prob.n_constraints, np.int64)
+    np.add.at(counts, rows[keep_entry], 1)
+    new_off = np.concatenate([[0], np.cumsum(counts)])
+
+    clb = prob.constraint_lower_bounds - np.where(
+        np.isfinite(prob.constraint_lower_bounds), shift, 0.0
+    )
+    cub = prob.constraint_upper_bounds - np.where(
+        np.isfinite(prob.constraint_upper_bounds), shift, 0.0
+    )
+    offset = prob.objective_offset + float(
+        prob.objective_coefficients[fixed] @ xf[fixed]
+    )
+    reduced = type(prob)(
+        offsets=new_off, indices=new_idx, values=new_vals,
+        objective_coefficients=prob.objective_coefficients[keep_cols],
+        objective_offset=offset,
+        maximize=prob.maximize,
+        constraint_lower_bounds=clb,
+        constraint_upper_bounds=cub,
+        row_types=prob.row_types, rhs=prob.rhs,
+        variable_lower_bounds=lv[keep_cols],
+        variable_upper_bounds=uv[keep_cols],
+        variable_types=prob.variable_types[keep_cols],
+        variable_names=[prob.variable_names[int(j)]
+                        for j in keep_cols]
+        if prob.variable_names is not None else None,
+        row_names=prob.row_names,
+    )
+    return TrivialReduction(
+        problem=reduced, keep=keep_cols, x_fixed=xf, fixed=fixed
+    )

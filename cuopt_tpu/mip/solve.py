@@ -165,6 +165,49 @@ def _run_mip(prob, settings, timer, log):
             pint.variable_upper_bounds = pr.uv
             pres.lv, pres.uv = pr.lv, pr.uv
 
+    # trivial presolve: eliminate fixed variables + compact the CSR
+    # (reference trivial_presolve.cuh), then solve the reduced MIP and
+    # postsolve the assignment back to user space
+    from cuopt_tpu.mip.presolve import eliminate_fixed
+
+    red = eliminate_fixed(
+        pint, pres.lv, pres.uv,
+        settings.tolerances.integrality_tolerance,
+    )
+    if red is not None:
+        import copy as _copy
+
+        sub = _copy.copy(settings)
+        sub.initial_solutions = [
+            red.project(x0) for x0 in settings.initial_solutions
+            if len(np.asarray(x0)) == m
+        ]
+        sub.mip_callbacks = [
+            (lambda cb: lambda xr, obj: cb(red.postsolve(xr), obj))(cb)
+            for cb in settings.mip_callbacks
+        ]
+        log.debug(
+            f"trivial presolve: eliminated {int(red.fixed.sum())} fixed "
+            f"variables ({m} -> {len(red.keep)})"
+        )
+        raw = _run_mip(red.problem, sub, timer, log)
+        x_red = raw.get("primal_solution")
+        has_x = x_red is not None and not math.isnan(
+            raw.get("primal_objective", math.nan)
+        )
+        out = _make_raw(
+            prob, sign,
+            red.postsolve(x_red) if has_x else None,
+            raw.get("primal_objective", math.nan) if has_x else math.nan,
+            raw.get("solution_bound", math.nan)
+            if raw.get("solution_bound") is not None
+            and not math.isnan(raw.get("solution_bound", math.nan))
+            else -math.inf,
+            raw["status"], nodes=raw.get("nodes", 0),
+            iters=raw.get("iterations", 0), timer=timer,
+        )
+        return out
+
     # all variables fixed by presolve?
     if np.all(pres.lv >= pres.uv - 1e-9):
         x = (pres.lv + pres.uv) / 2

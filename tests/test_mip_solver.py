@@ -278,3 +278,51 @@ def test_probing_detects_infeasible():
     is_int = np.array([True, True])
     r = probe_variables(offsets, indices, values, lc, uc, lv, uv, is_int)
     assert r.infeasible
+
+
+def test_trivial_presolve_eliminates_fixed_vars():
+    """Variable elimination + CSR compaction (reference
+    trivial_presolve.cuh): a MIP with presolve-fixable variables reaches
+    the same optimum, reported in full user space."""
+    import numpy as np
+
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.lp.settings import MIPSolverSettings
+    from cuopt_tpu.mip.presolve import eliminate_fixed
+    from cuopt_tpu.mip.solve import solve_mip
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+
+    # x0 forced to 2 by bounds; x1, x2 binary knapsack
+    A = np.array([
+        [1.0, 0.0, 0.0],   # x0 = 2 (bounds)
+        [1.0, 2.0, 3.0],   # x0 + 2x1 + 3x2 <= 6
+    ])
+    p = OptimizationProblem.from_dense(
+        A,
+        c=np.array([1.0, -3.0, -4.0]),
+        constraint_lower=np.array([-np.inf, -np.inf]),
+        constraint_upper=np.array([np.inf, 6.0]),
+        variable_lower=np.array([2.0, 0.0, 0.0]),
+        variable_upper=np.array([2.0, 1.0, 1.0]),
+        variable_types=np.array(["I", "I", "I"]),
+    )
+    red = eliminate_fixed(p, p.variable_lower_bounds,
+                          p.variable_upper_bounds)
+    assert red is not None
+    assert len(red.keep) == 2
+    # constraint 2 bound shifted by the fixed x0 term: 6 - 2 = 4
+    assert red.problem.constraint_upper_bounds[1] == 4.0
+    # objective offset picked up the fixed contribution
+    assert red.problem.objective_offset == 2.0
+
+    s = MIPSolverSettings()
+    s.time_limit = 30
+    sol = solve_mip(p, s)
+    assert sol.get_termination_status() == \
+        C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    x = sol.get_primal_solution()
+    assert len(x) == 3
+    assert abs(x[0] - 2.0) < 1e-6
+    # optimum: 2x1+3x2 <= 4 -> best is x1=0, x2=1 (obj -4) vs x1=1,x2=0
+    # (-3); with x1=x2=1 needing 5 > 4. total = 2 - 4 = -2
+    assert abs(sol.get_primal_objective() - (-2.0)) < 1e-6
