@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional, Tuple
 
-from pydantic import BaseModel, ConfigDict, Field
+from pydantic import BaseModel, ConfigDict, Field, model_validator
 
 
 def parse_bound_list(vals):
@@ -47,6 +47,23 @@ class CSRConstraintMatrix(StrictModel):
     offsets: List[int] = Field(default=[0])
     indices: List[int] = Field(default=[])
     values: List[float] = Field(default=[])
+
+    @model_validator(mode="after")
+    def _check_csr(self):
+        o = self.offsets
+        if not o or o[0] != 0:
+            raise ValueError("offsets must start at 0")
+        if any(b < a for a, b in zip(o, o[1:])):
+            raise ValueError("offsets must be non-decreasing")
+        if len(self.indices) != len(self.values):
+            raise ValueError("indices/values length mismatch")
+        if o[-1] != len(self.values):
+            raise ValueError(
+                "offsets[-1] must equal the number of nonzeros"
+            )
+        if any(i < 0 for i in self.indices):
+            raise ValueError("negative column index")
+        return self
 
 
 class ObjectiveData(StrictModel):
@@ -104,6 +121,10 @@ class SolverConfig(StrictModel):
 
 
 class LPData(StrictModel):
+    """Validated LP payload; cross-field shape checks mirror the
+    reference's strict models (utils/linear_programming/
+    data_definition.py:106-680)."""
+
     csr_constraint_matrix: CSRConstraintMatrix = Field(
         default=CSRConstraintMatrix()
     )
@@ -122,6 +143,48 @@ class LPData(StrictModel):
     # full PDLP internal state from a prior solve (reference
     # data_definition.py WarmStartData; GET /cuopt/solution/{id}/warmstart)
     warm_start_data: Optional[dict] = None
+
+    @model_validator(mode="after")
+    def _check_shapes(self):
+        n_rows = len(self.csr_constraint_matrix.offsets) - 1
+        n_vars = None
+        if self.objective_data and self.objective_data.coefficients:
+            n_vars = len(self.objective_data.coefficients)
+        if self.csr_constraint_matrix.indices and n_vars is not None:
+            if max(self.csr_constraint_matrix.indices) >= n_vars:
+                raise ValueError("column index out of range")
+        vb = self.variable_bounds
+        if vb is not None and n_vars is not None:
+            for name, b in (("variable lower", vb.lower_bounds),
+                            ("variable upper", vb.upper_bounds)):
+                if b is not None and len(b) != n_vars:
+                    raise ValueError(
+                        f"{name} bounds length {len(b)} != num "
+                        f"variables {n_vars}"
+                    )
+        cb = self.constraint_bounds
+        if cb is not None:
+            for name, b in (("constraint lower", cb.lower_bounds),
+                            ("constraint upper", cb.upper_bounds),
+                            ("constraint rhs", cb.bounds)):
+                if b is not None and len(b) != n_rows:
+                    raise ValueError(
+                        f"{name} bounds length {len(b)} != num "
+                        f"constraints {n_rows}"
+                    )
+            if cb.types is not None:
+                if len(cb.types) != n_rows:
+                    raise ValueError("constraint types length mismatch")
+                bad = set(cb.types) - {"L", "G", "E"}
+                if bad:
+                    raise ValueError(f"invalid constraint sense {bad}")
+        if self.variable_types is not None:
+            if n_vars is not None and len(self.variable_types) != n_vars:
+                raise ValueError("variable_types length mismatch")
+            bad = set(self.variable_types) - {"C", "I"}
+            if bad:
+                raise ValueError(f"invalid variable type {bad}")
+        return self
 
 
 class LPTupleData(StrictModel):
@@ -149,6 +212,16 @@ class VehicleBreak(StrictModel):
     duration: float
     locations: Optional[List[int]] = None
 
+    @model_validator(mode="after")
+    def _check(self):
+        if self.vehicle_id < 0:
+            raise ValueError("vehicle_id must be non-negative")
+        if self.latest < self.earliest:
+            raise ValueError("break latest < earliest")
+        if self.duration < 0:
+            raise ValueError("negative break duration")
+        return self
+
 
 class FleetData(StrictModel):
     vehicle_locations: List[List[int]] = Field(...)
@@ -168,6 +241,39 @@ class FleetData(StrictModel):
     vehicle_max_times: Optional[List[float]] = None
     vehicle_fixed_costs: Optional[List[float]] = None
 
+    @model_validator(mode="after")
+    def _check_fleet(self):
+        nf = len(self.vehicle_locations)
+        if nf == 0:
+            raise ValueError("fleet must have at least one vehicle")
+        for vl in self.vehicle_locations:
+            if len(vl) != 2:
+                raise ValueError(
+                    "vehicle_locations entries must be [start, return]"
+                )
+            if any(x < 0 for x in vl):
+                raise ValueError("negative vehicle location")
+        for name, per_vehicle in (
+            ("vehicle_time_windows", self.vehicle_time_windows),
+            ("skip_first_trips", self.skip_first_trips),
+            ("drop_return_trips", self.drop_return_trips),
+            ("vehicle_max_costs", self.vehicle_max_costs),
+            ("vehicle_max_times", self.vehicle_max_times),
+            ("vehicle_fixed_costs", self.vehicle_fixed_costs),
+            ("vehicle_types", self.vehicle_types),
+        ):
+            if per_vehicle is not None and len(per_vehicle) != nf:
+                raise ValueError(f"{name} length != fleet size")
+        if self.vehicle_time_windows is not None:
+            for tw in self.vehicle_time_windows:
+                if len(tw) != 2 or tw[1] < tw[0]:
+                    raise ValueError("invalid vehicle time window")
+        if self.capacities is not None:
+            for dim in self.capacities:
+                if len(dim) != nf:
+                    raise ValueError("capacity row length != fleet size")
+        return self
+
 
 class TaskData(StrictModel):
     task_locations: List[int] = Field(...)
@@ -178,6 +284,35 @@ class TaskData(StrictModel):
     service_times: Optional[List[int]] = None
     prizes: Optional[List[float]] = None
     order_vehicle_match: Optional[List[dict]] = None
+
+    @model_validator(mode="after")
+    def _check_tasks(self):
+        nt = len(self.task_locations)
+        if nt == 0:
+            raise ValueError("task_locations must be non-empty")
+        if any(t < 0 for t in self.task_locations):
+            raise ValueError("negative task location")
+        for name, per_task in (
+            ("task_time_windows", self.task_time_windows),
+            ("service_times", self.service_times),
+            ("prizes", self.prizes),
+        ):
+            if per_task is not None and len(per_task) != nt:
+                raise ValueError(f"{name} length != number of tasks")
+        if self.task_time_windows is not None:
+            for tw in self.task_time_windows:
+                if len(tw) != 2 or tw[1] < tw[0]:
+                    raise ValueError("invalid task time window")
+        if self.demand is not None:
+            for dim in self.demand:
+                if len(dim) != nt:
+                    raise ValueError("demand row length != tasks")
+        if self.pickup_and_delivery_pairs is not None:
+            for pr in self.pickup_and_delivery_pairs:
+                if len(pr) != 2 or pr[0] == pr[1] or \
+                        any(x < 0 or x >= nt for x in pr):
+                    raise ValueError("invalid pickup/delivery pair")
+        return self
 
 
 class SolverSettingsConfig(StrictModel):

@@ -246,3 +246,64 @@ def test_mip_incumbents_streamed(server):
     ).json()["incumbents"]
     assert len(inc) >= 1
     assert "solution" in inc[0] and "cost" in inc[0]
+
+
+def test_malformed_payloads_rejected_strictly():
+    """Semantic validation depth (reference utils/*/data_definition.py
+    strict models): shape/sense/time-window violations must be rejected
+    at the schema layer, not crash the solver."""
+    import pydantic
+    import pytest as _pytest
+
+    from cuopt_tpu.server.data_definition import (
+        FleetData,
+        LPData,
+        TaskData,
+        VehicleBreak,
+    )
+
+    # CSR offsets not monotone
+    with _pytest.raises(pydantic.ValidationError):
+        LPData(csr_constraint_matrix={
+            "offsets": [0, 2, 1], "indices": [0, 1], "values": [1, 1],
+        })
+    # nnz mismatch
+    with _pytest.raises(pydantic.ValidationError):
+        LPData(csr_constraint_matrix={
+            "offsets": [0, 3], "indices": [0, 1], "values": [1, 1],
+        })
+    # column index out of range vs objective length
+    with _pytest.raises(pydantic.ValidationError):
+        LPData(
+            csr_constraint_matrix={
+                "offsets": [0, 1], "indices": [5], "values": [1.0],
+            },
+            objective_data={"coefficients": [1.0, 2.0]},
+        )
+    # bad constraint sense
+    with _pytest.raises(pydantic.ValidationError):
+        LPData(
+            csr_constraint_matrix={
+                "offsets": [0, 1], "indices": [0], "values": [1.0],
+            },
+            objective_data={"coefficients": [1.0]},
+            constraint_bounds={"bounds": [1.0], "types": ["X"]},
+        )
+    # unknown field (extra=forbid)
+    with _pytest.raises(pydantic.ValidationError):
+        LPData(not_a_field=1)
+    # fleet: reversed vehicle TW
+    with _pytest.raises(pydantic.ValidationError):
+        FleetData(vehicle_locations=[[0, 0]],
+                  vehicle_time_windows=[[10, 5]])
+    # fleet: capacity row wrong width
+    with _pytest.raises(pydantic.ValidationError):
+        FleetData(vehicle_locations=[[0, 0], [0, 0]],
+                  capacities=[[5]])
+    # tasks: PD pair out of range
+    with _pytest.raises(pydantic.ValidationError):
+        TaskData(task_locations=[1, 2],
+                 pickup_and_delivery_pairs=[[0, 7]])
+    # break: latest < earliest
+    with _pytest.raises(pydantic.ValidationError):
+        VehicleBreak(vehicle_id=0, earliest=10, latest=5, duration=1)
