@@ -11,10 +11,21 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import pickle
 import queue as queue_mod
 import threading
 import time
 import uuid
+
+from cuopt_tpu.server.result_store import (
+    BillingData,
+    MemoryResultStore,
+)
+
+# payloads above this stash in multiprocessing.shared_memory instead of
+# riding the pickle through the job queue (reference webserver.py:9 +
+# job_queue.py:225-240 SharedMemory path for large models)
+SHM_THRESHOLD = int(os.environ.get("CUOPT_SHM_THRESHOLD", 1 << 19))
 
 
 class JobQueue:
@@ -33,7 +44,8 @@ class JobQueue:
         self.results = ctx.Queue()
         self.manager = ctx.Manager()
         self.abort_list = self.manager.list()
-        self.store: dict[str, dict] = {}
+        self.store = MemoryResultStore()
+        self.billing = BillingData()
         self.incumbents: dict[str, list] = {}
         self.logs: dict[str, list] = {}
         self.procs: list = []
@@ -44,16 +56,29 @@ class JobQueue:
     # -------------------------------------------------------------- jobs
     def submit(self, kind: str, payload: dict) -> str:
         req_id = uuid.uuid4().hex
-        self.store[req_id] = {"status": "queued"}
-        self.jobs.put((req_id, kind, payload))
+        self.store.put(req_id, {"status": "queued"})
+        blob = pickle.dumps(payload)
+        self.billing.start_event(req_id, kind, len(blob))
+        if len(blob) >= SHM_THRESHOLD:
+            from multiprocessing import shared_memory
+
+            shm = shared_memory.SharedMemory(create=True, size=len(blob))
+            shm.buf[: len(blob)] = blob
+            name, size = shm.name, len(blob)
+            shm.close()
+            self.jobs.put((req_id, kind, ("shm", name, size)))
+        else:
+            self.jobs.put((req_id, kind, payload))
         return req_id
 
     def abort(self, req_id: str) -> bool:
-        if req_id in self.store and self.store[req_id].get("status") in (
+        entry = self.store.get(req_id)
+        if entry is not None and entry.get("status") in (
             "queued", "running",
         ):
             self.abort_list.append(req_id)
-            self.store[req_id] = {"status": "aborted"}
+            self.store.put(req_id, {"status": "aborted"})
+            self.billing.end_event(req_id, "aborted")
             return True
         return False
 
@@ -98,21 +123,25 @@ class JobQueue:
                 continue
             req_id = msg["req_id"]
             if msg["type"] == "result":
-                if self.store.get(req_id, {}).get("status") != "aborted":
+                if (self.store.get(req_id) or {}).get("status") != \
+                        "aborted":
                     res = msg["result"]
                     ws = res.pop("warmstart", None) \
                         if isinstance(res, dict) else None
-                    self.store[req_id] = {
+                    self.store.put(req_id, {
                         "status": "done", "result": res,
                         "warmstart": ws,
-                    }
+                    })
+                    self.billing.end_event(req_id, "done")
             elif msg["type"] == "error":
-                self.store[req_id] = {
+                self.store.put(req_id, {
                     "status": "error", "error": msg["error"],
-                }
+                })
+                self.billing.end_event(req_id, "error")
             elif msg["type"] == "running":
-                if self.store.get(req_id, {}).get("status") == "queued":
-                    self.store[req_id] = {"status": "running"}
+                if (self.store.get(req_id) or {}).get("status") == \
+                        "queued":
+                    self.store.put(req_id, {"status": "running"})
             elif msg["type"] == "incumbent":
                 self.incumbents.setdefault(req_id, []).append(
                     msg["incumbent"]

@@ -81,6 +81,9 @@ def make_app(n_workers: int | None = None) -> web.Application:
     jq.start()
     app["job_queue"] = jq
 
+    async def billing(request):
+        return web.json_response(jq.billing.summary())
+
     async def health(request):
         return web.json_response({"status": "RUNNING", "version": "0.1.0"})
 
@@ -91,6 +94,14 @@ def make_app(n_workers: int | None = None) -> web.Application:
         return web.Response(status=200)
 
     async def submit(request):
+        # client-version gate (reference job_queue.py:104)
+        from cuopt_tpu.server.result_store import check_client_version
+
+        ok, msg = check_client_version(
+            request.headers.get("CLIENT-VERSION")
+        )
+        if not ok:
+            return web.json_response({"error": msg}, status=426)
         raw = await request.read()
         payload = _decode_body(raw, request.content_type or "")
         kind = _job_kind(payload)
@@ -177,6 +188,7 @@ def make_app(n_workers: int | None = None) -> web.Application:
         return web.json_response({"deleted": req_id})
 
     app.router.add_get("/cuopt/health", health)
+    app.router.add_get("/cuopt/billing", billing)
     app.router.add_get("/v2/health/ready", ready)
     app.router.add_get("/v2/health/live", live)
     app.router.add_post("/cuopt/request", submit)

@@ -30,6 +30,20 @@ def worker_main(worker_id, jobs, results, abort_list):
             req_id, kind, payload = jobs.get(timeout=0.5)
         except queue_mod.Empty:
             continue
+        if isinstance(payload, tuple) and len(payload) == 3 and \
+                payload[0] == "shm":
+            # large payload stashed in shared memory (reference
+            # job_queue.py:225-240): read + unlink
+            import pickle
+            from multiprocessing import shared_memory
+
+            _, name, size = payload
+            shm = shared_memory.SharedMemory(name=name)
+            try:
+                payload = pickle.loads(bytes(shm.buf[:size]))
+            finally:
+                shm.close()
+                shm.unlink()
         if req_id in abort_list:
             continue
         results.put({"type": "running", "req_id": req_id})
