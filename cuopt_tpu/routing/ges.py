@@ -37,9 +37,66 @@ def _pair_unit(prob, o):
     return (o,)
 
 
+def _device_insertion_prefilter(prob, routes, o, exclude, top_k=16):
+    """Device-scored insertion candidates for one order: one jitted call
+    ranks ALL (route, slot) positions (local_search.evaluate_insertions —
+    the TPU analogue of the reference's GPU insertion-scoring kernels,
+    guided_ejection_search.cuh:81); the host exact-verifies only the
+    top-k. Returns a list of (delta, v, new_route) or None when the
+    device path does not apply."""
+    if prob.pd_partner is not None and prob.pd_partner[o] >= 0:
+        return None
+    if prob.precedence or prob.breaks:
+        return None
+    if np.any(np.isfinite(prob.veh_max_cost)) or \
+            np.any(np.isfinite(prob.veh_max_time)) or \
+            np.any(prob.skip_first) or np.any(prob.drop_return):
+        # the device evaluator scores TW/capacity/match only; these
+        # constraints need the exact host scan
+        return None
+    lsp = getattr(prob, "_lsp_cache", None)
+    if lsp is None or prob.n_serve * prob.n_fleet < 2000:
+        return None
+    import jax.numpy as jnp
+
+    from cuopt_tpu.routing.local_search import BIG, evaluate_insertions
+
+    longest = max((len(r) for r in routes.values()), default=1)
+    L_pad = max(8, ((longest + 4 + 7) // 8) * 8)
+    F = prob.n_fleet
+    R = np.full((F, L_pad), -1, np.int32)
+    lens = np.zeros(F, np.int32)
+    for v, r in routes.items():
+        R[v, : len(r)] = r
+        lens[v] = len(r)
+    scores = np.asarray(evaluate_insertions(
+        lsp, jnp.asarray(R), jnp.asarray(lens),
+        np.asarray([o], np.int32),
+    ))[0]  # (F, L+1)
+    for v in exclude:
+        scores[v, :] = BIG
+    flat = scores.reshape(-1)
+    order = np.argsort(flat)[:top_k]
+    out = []
+    for k in order:
+        if flat[k] >= BIG / 2:
+            break
+        v, j = divmod(int(k), scores.shape[1])
+        cand = routes[v][:j] + [int(o)] + routes[v][j:]
+        if prob.route_feasible(v, cand):
+            out.append((float(flat[k]), v, cand))
+    return out
+
+
 def feasible_insertions(prob, routes, o, exclude=(), max_cands=64):
     """All feasible (delta_cost, vehicle, new_route) insertions of order o
-    (with its PD partner when paired). Bounded by max_cands per call."""
+    (with its PD partner when paired). Bounded by max_cands per call.
+    Large unconstrained instances use a device-scored prefilter."""
+    pre = _device_insertion_prefilter(prob, routes, o, exclude)
+    if pre is not None and pre:
+        return pre[:max_cands]
+    if pre is not None and not pre:
+        return []
     unit = _pair_unit(prob, o)
     out = []
     for v in range(prob.n_fleet):

@@ -277,6 +277,7 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     from cuopt_tpu.routing.local_search import build_ls_problem
 
     lsp = build_ls_problem(prob)
+    prob._lsp_cache = lsp  # shared by GES / reinsertion device scoring
     routes = None
     unassigned: list[int] = []
     if data_model.initial_solutions:
