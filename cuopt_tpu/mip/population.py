@@ -94,17 +94,29 @@ class Population:
 
 
 def recombine(prob, xa, xb, rng, fj_budget_s=0.5, dtype="float64"):
-    """Fix integers where parents agree; re-optimize the disagreement set
-    with a short batched FJ run (reference diversity_manager.cuh
-    `recombine` :49)."""
+    """Bound-prop recombiner (reference diversity_manager.cuh
+    `recombine` :49 with the bound-propagation recombiner): fix integers
+    where parents agree, PROPAGATE the implied bounds through the
+    constraints (shrinking the disagreement set's domains), then
+    re-optimize the rest with a short batched FJ run."""
     import jax.numpy as jnp
 
     from cuopt_tpu.mip.feasibility_jump import run_feasibility_jump
+    from cuopt_tpu.mip.presolve import propagate_bounds
 
     is_int = prob.variable_types == "I"
     agree = is_int & (np.abs(xa - xb) < 1e-9)
     if agree.sum() == 0 or agree.sum() == is_int.sum():
         return None
+    lv = np.where(agree, np.round(xa), prob.variable_lower_bounds)
+    uv = np.where(agree, np.round(xa), prob.variable_upper_bounds)
+    pres = propagate_bounds(
+        prob.offsets, prob.indices, prob.values,
+        prob.constraint_lower_bounds, prob.constraint_upper_bounds,
+        lv, uv, is_int, max_rounds=3,
+    )
+    if pres.infeasible:
+        return None  # the agreement set cannot be completed
     sub = type(prob)(
         offsets=prob.offsets, indices=prob.indices, values=prob.values,
         objective_coefficients=prob.objective_coefficients,
@@ -112,12 +124,8 @@ def recombine(prob, xa, xb, rng, fj_budget_s=0.5, dtype="float64"):
         constraint_lower_bounds=prob.constraint_lower_bounds,
         constraint_upper_bounds=prob.constraint_upper_bounds,
         row_types=prob.row_types, rhs=prob.rhs,
-        variable_lower_bounds=np.where(
-            agree, np.round(xa), prob.variable_lower_bounds
-        ),
-        variable_upper_bounds=np.where(
-            agree, np.round(xa), prob.variable_upper_bounds
-        ),
+        variable_lower_bounds=pres.lv,
+        variable_upper_bounds=pres.uv,
         variable_types=prob.variable_types,
     )
     mix = np.where(rng.uniform(size=len(xa)) < 0.5, xa, xb)
@@ -173,6 +181,14 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                 improved |= pop.add(x)
         if improved and bnb is not None and pop.best is not None:
             bnb.set_incumbent(pop.best[1], pop.best[0])
+        # B&B preemption (reference diversity_manager.cuh:38): when the
+        # tree search has (nearly) closed the gap, heuristic cycles are
+        # wasted — yield the remaining budget
+        if bnb is not None and pop.best is not None and \
+                math.isfinite(bnb.best_bound):
+            gap = pop.best[0] - bnb.best_bound
+            if gap <= 1e-6 * max(1.0, abs(pop.best[0])):
+                break
         if not improved and rounds > 4 and len(pop.feasible) < 2:
             break  # nothing to evolve
     return rounds
