@@ -119,3 +119,71 @@ def cycle_search(prob, lsp, routes, max_cycles=5):
         if not ok:
             break
     return routes, improved_any
+
+
+def hvrp_reassign(prob, lsp, routes, max_moves=4):
+    """Regret-based route->vehicle reassignment for heterogeneous fleets
+    (reference local_search/hvrp regret kernels): move whole routes onto
+    cheaper idle vehicles, largest regret first, with exact
+    re-validation."""
+    import jax.numpy as jnp
+
+    from cuopt_tpu.routing.local_search import evaluate_vehicle_reassign
+
+    veh_profile = {}
+    hetero = False
+    for v in range(prob.n_fleet):
+        key = (int(prob.veh_type[v]), int(prob.veh_start[v]),
+               int(prob.veh_return[v]), float(prob.veh_fixed_cost[v]))
+        veh_profile[v] = key
+        if key != veh_profile[0]:
+            hetero = True
+    if not hetero:
+        return routes, False
+    longest = max((len(r) for r in routes.values()), default=1)
+    L_pad = max(8, ((longest + 4 + 7) // 8) * 8)
+    F = prob.n_fleet
+    import numpy as np
+
+    R = np.full((F, L_pad), -1, np.int32)
+    lens = np.zeros(F, np.int32)
+    for v, r in routes.items():
+        R[v, : len(r)] = r
+        lens[v] = len(r)
+    cost, feas = (np.asarray(a) for a in evaluate_vehicle_reassign(
+        lsp, jnp.asarray(R), jnp.asarray(lens)
+    ))
+    improved = False
+    idle = {v for v, r in routes.items() if not r}
+    order = []
+    for r1 in range(F):
+        if lens[r1] == 0:
+            continue
+        own = cost[r1, r1]
+        cands = [(cost[v2, r1], v2) for v2 in idle
+                 if cost[v2, r1] < own - 1e-7]
+        if not cands:
+            continue
+        cands.sort()
+        best_gain = own - cands[0][0]
+        second = cands[1][0] - cands[0][0] if len(cands) > 1 else 0.0
+        order.append((-(best_gain + second), r1, cands[0][1]))
+    order.sort()
+    moves = 0
+    for _, r1, v2 in order:
+        if moves >= max_moves or v2 not in idle or not routes[r1]:
+            continue
+        seq = routes[r1]
+        if not prob.route_feasible(v2, seq):
+            continue
+        old = prob.route_cost(r1, seq)
+        new = prob.route_cost(v2, seq)
+        if new >= old - 1e-7:
+            continue
+        routes[v2] = seq
+        routes[r1] = []
+        idle.discard(v2)
+        idle.add(r1)
+        improved = True
+        moves += 1
+    return routes, improved

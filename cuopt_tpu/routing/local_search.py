@@ -783,3 +783,81 @@ def evaluate_cycle_gains(p: LsProblem, R, lens):
     slot_idx = argb // L
     pos_idx = argb % L
     return best, pos_idx.astype(jnp.int32), slot_idx.astype(jnp.int32)
+
+
+@jax.jit
+def evaluate_vehicle_reassign(p: LsProblem, R, lens):
+    """Cost + feasibility of serving route r's order SEQUENCE with every
+    vehicle v (reference HVRP regret kernels, local_search/hvrp/): one
+    (F_veh, F_route, L) forward time scan under each vehicle's matrices.
+
+    Returns (cost (F2, F1), feasible (F2, F1)); infeasible = BIG cost.
+    The host-side regret selection reassigns routes to cheaper vehicles.
+    """
+    F, L = R.shape
+    dtype = p.e.dtype
+    valid = R >= 0
+    Rc = jnp.where(valid, R, 0)
+    # order locations per route position; terminal locs PER VEHICLE v2
+    locs_mid = p.order_loc[Rc]                     # (F1, L)
+    ti = p.veh_ti
+    tmat = p.time_mats[ti]                         # (F2, L, L)
+    cmat = p.cost_mats[ti]
+    v2 = jnp.arange(F)[:, None, None]              # vehicle axis
+    start2 = p.veh_start[:, None, None]            # (F2, 1, 1)
+    ret2 = p.veh_return[:, None, None]
+    # augmented location sequence under vehicle v2: (F2, F1, L+2)
+    locs = jnp.concatenate([
+        jnp.broadcast_to(start2, (F, F, 1)),
+        jnp.broadcast_to(
+            jnp.where(valid, locs_mid, p.veh_return[0])[None], (F, F, L)
+        ),
+        jnp.broadcast_to(ret2, (F, F, 1)),
+    ], axis=2)
+    # pad positions use the vehicle's return loc so padded arcs cost 0
+    pos_valid = jnp.concatenate([
+        jnp.ones((F, F, 1), bool),
+        jnp.broadcast_to(valid[None], (F, F, L)),
+        jnp.ones((F, F, 1), bool),
+    ], axis=2)
+    locs = jnp.where(pos_valid, locs, ret2)
+    t_arc = tmat[v2, locs[:, :, :-1], locs[:, :, 1:]]  # (F2, F1, L+1)
+    c_arc = cmat[v2, locs[:, :, :-1], locs[:, :, 1:]]
+    # collapse padded arcs: loc==ret for both ends -> arc cost 0 anyway
+    e_aug = jnp.concatenate([
+        jnp.broadcast_to(jnp.where(valid, p.e[Rc], 0.0)[None], (F, F, L)),
+        jnp.zeros((F, F, 1), dtype),
+    ], axis=2)
+    l_aug = jnp.concatenate([
+        jnp.broadcast_to(jnp.where(valid, p.l[Rc], BIG)[None], (F, F, L)),
+        jnp.broadcast_to(p.veh_tw_late[:, None, None], (F, F, 1)),
+    ], axis=2)
+    s_aug = jnp.concatenate([
+        jnp.broadcast_to(jnp.where(valid, p.s[Rc], 0.0)[None], (F, F, L)),
+        jnp.zeros((F, F, 1), dtype),
+    ], axis=2)
+
+    def fwd(carry, inp):
+        dep_prev, ok = carry
+        t_in, e_in, l_in, s_in = inp
+        arr = jnp.maximum(dep_prev + t_in, e_in)
+        ok = ok & (arr <= l_in + 1e-6)
+        return (arr + s_in, ok), None
+
+    dep0 = jnp.broadcast_to(p.veh_tw_early[:, None], (F, F))
+    (dep_end, ok), _ = jax.lax.scan(
+        fwd, (dep0, jnp.ones((F, F), bool)),
+        (jnp.moveaxis(t_arc, 2, 0), jnp.moveaxis(e_aug, 2, 0),
+         jnp.moveaxis(l_aug, 2, 0), jnp.moveaxis(s_aug, 2, 0)),
+    )
+    cost = jnp.sum(c_arc, axis=2)
+    # capacity + order-vehicle match + fixed cost
+    load = jnp.sum(jnp.where(valid[None], p.demand[:, Rc], 0.0), axis=2)
+    cap_ok = jnp.all(load[:, None, :] <= p.capacity[:, :, None] + 1e-6,
+                     axis=0)                      # (F2, F1)
+    alw = jnp.where(valid[:, :, None], p.allowed[Rc], True)
+    alw_ok = jnp.transpose(jnp.all(alw, axis=1), (1, 0))  # (F2, F1)
+    nonempty = (lens > 0)[None, :]
+    cost = cost + jnp.where(nonempty, p.veh_fixed[:, None], 0.0)
+    feasible = ok & cap_ok & alw_ok & nonempty
+    return jnp.where(feasible, cost, BIG), feasible

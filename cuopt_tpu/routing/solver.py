@@ -142,12 +142,18 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
             applied += 1
         if applied == 0:
             # pairwise families exhausted: try multi-route exchange
-            # cycles (reference cycle_finder.cu) before giving up
-            from cuopt_tpu.routing.cycle_finder import cycle_search
+            # cycles (reference cycle_finder.cu) and HVRP vehicle
+            # reassignment (local_search/hvrp) before giving up
+            from cuopt_tpu.routing.cycle_finder import (
+                cycle_search,
+                hvrp_reassign,
+            )
 
             if timer.expired():
                 break
             routes, improved = cycle_search(prob, lsp, routes)
+            routes, imp2 = hvrp_reassign(prob, lsp, routes)
+            improved = improved or imp2
             if prob.precedence and improved:
                 from cuopt_tpu.routing.internal import precedence_ok
 

@@ -121,3 +121,28 @@ def test_cycle_search_improves_contrived():
     # capacity still respected
     for v, r in new_routes.items():
         assert len(r) <= 3
+
+
+def test_hvrp_reassign_moves_route_to_cheaper_vehicle():
+    """HVRP regret reassignment (reference local_search/hvrp): a route
+    on an expensive vehicle type moves to a cheaper idle one."""
+    import numpy as np
+
+    from cuopt_tpu.routing.cycle_finder import hvrp_reassign
+    from cuopt_tpu.routing.data_model import DataModel
+    from cuopt_tpu.routing.internal import build_problem
+    from cuopt_tpu.routing.local_search import build_ls_problem
+
+    xy = np.asarray([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)])
+    dist = np.sqrt(((xy[:, None] - xy[None, :]) ** 2).sum(-1))
+    dm = DataModel(4, 2, 3)
+    dm.add_cost_matrix(dist * 3.0, vehicle_type=0)   # expensive type
+    dm.add_cost_matrix(dist, vehicle_type=1)          # cheap type
+    dm.set_vehicle_types(np.array([0, 1], np.int32))
+    dm.set_order_locations(np.array([1, 2, 3], np.int32))
+    prob = build_problem(dm)
+    lsp = build_ls_problem(prob)
+    routes = {0: [0, 1, 2], 1: []}   # everything on the expensive one
+    new_routes, improved = hvrp_reassign(prob, lsp, routes)
+    assert improved
+    assert new_routes[1] == [0, 1, 2] and new_routes[0] == []
