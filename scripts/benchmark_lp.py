@@ -1,0 +1,112 @@
+"""MPS-file LP/MIP benchmark runner (reference
+benchmarks/linear_programming/utils/benchmark_lp_mittelmann.sh +
+run_pdlp.cu solve_MPS_file): solve every .mps under a directory with a
+per-instance time limit and emit a results table.
+
+The Mittelmann set itself is a network download (get_datasets.py); this
+runner works on any directory of MPS files — point --dir at the
+downloaded set when available, or at the in-repo reference datasets for
+an offline smoke table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def solve_one(path, time_limit, tol, method):
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.io.mps_parser import parse_mps
+    from cuopt_tpu.lp.settings import (
+        MIPSolverSettings,
+        PDLPSolverSettings,
+    )
+
+    t0 = time.time()
+    try:
+        prob = parse_mps(path)
+    except Exception as exc:  # noqa: BLE001
+        return {"instance": os.path.basename(path),
+                "status": "parse_error", "error": str(exc)}
+    is_mip = bool((prob.variable_types == "I").any())
+    if is_mip:
+        from cuopt_tpu.mip.solve import solve_mip
+
+        s = MIPSolverSettings()
+        s.time_limit = time_limit
+        sol = solve_mip(prob, s)
+    else:
+        from cuopt_tpu.lp.solve import solve_lp
+
+        s = PDLPSolverSettings()
+        s.time_limit = time_limit
+        s.set_optimality_tolerance(tol)
+        if method is not None:
+            s.method = method
+        sol = solve_lp(prob, s)
+    elapsed = time.time() - t0
+    return {
+        "instance": os.path.basename(path),
+        "rows": prob.n_constraints, "cols": prob.n_variables,
+        "nnz": prob.nnz, "mip": is_mip,
+        "status": int(sol.get_termination_status()),
+        "objective": float(sol.get_primal_objective()),
+        "solve_s": round(elapsed, 2),
+    }
+
+
+def main():
+    from cuopt_tpu import constants as C
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default=os.environ.get(
+        "CUOPT_LP_BENCH_DIR",
+        "/root/reference/datasets/linear_programming"))
+    ap.add_argument("--glob", default="*.mps")
+    ap.add_argument("--time-limit", type=float, default=3600.0,
+                    help="per instance (reference protocol: 3600s)")
+    ap.add_argument("--tolerance", type=float, default=1e-4)
+    ap.add_argument("--method", type=int, default=None,
+                    help="CUOPT_METHOD_* override")
+    ap.add_argument("--skip-bad", action="store_true", default=True)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "LP_BENCH_latest.json"))
+    args = ap.parse_args()
+
+    files = sorted(glob.glob(os.path.join(args.dir, args.glob)))
+    if args.skip_bad:
+        files = [f for f in files
+                 if "bad-" not in os.path.basename(f)
+                 and "infeas" not in os.path.basename(f)]
+    results = []
+    for f in files:
+        r = solve_one(f, args.time_limit, args.tolerance, args.method)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    ok = [r for r in results
+          if r.get("status") == C.CUOPT_TERIMINATION_STATUS_OPTIMAL]
+    times = [max(r["solve_s"], 1e-3) for r in ok]
+    summary = {
+        "instances": len(results),
+        "solved_optimal": len(ok),
+        "geomean_solve_s": round(
+            math.exp(sum(math.log(t) for t in times) / len(times)), 3
+        ) if times else None,
+        "results": results,
+    }
+    json.dump(summary, open(args.out, "w"), indent=1)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "results"}))
+
+
+if __name__ == "__main__":
+    main()
