@@ -207,13 +207,16 @@ class DualSimplex {
         return ra < rb;
       });
       int q = -1;
+      size_t iq = 0;
       std::vector<int> flips;
       double remaining = violation;
-      for (const int j : cand) {
+      for (size_t t2 = 0; t2 < cand.size(); ++t2) {
+        const int j = cand[t2];
         const double span = up_[j] - lo_[j];
         const double room = std::fabs(alpha[j]) * span;
         if (!std::isfinite(span) || remaining - room <= kFeasTol) {
           q = j;
+          iq = t2;
           break;
         }
         flips.push_back(j);
@@ -229,6 +232,21 @@ class DualSimplex {
         }
         status = kInfeasible;
         break;
+      }
+      // Harris-style tie-break (reference phase2.cpp two-pass ratio
+      // test): among candidates whose ratio is within a dual-tolerance
+      // band of the blocking ratio, pick the numerically largest pivot
+      // |alpha| — degenerate ties no longer force tiny pivots.
+      {
+        const double theta_q = std::max(0.0, dj_[q] / (-alpha[q]));
+        double best_a = std::fabs(alpha[q]);
+        for (size_t t2 = iq + 1; t2 < cand.size(); ++t2) {
+          const int j = cand[t2];
+          const double aj = std::fabs(alpha[j]);
+          const double rj = dj_[j] / (-alpha[j]);
+          if (rj > theta_q + 1e-9 / std::max(aj, 1e-12)) break;
+          if (aj > best_a) { best_a = aj; q = j; }
+        }
       }
       const double theta_d = std::max(0.0, dj_[q] / (-alpha[q]));
 

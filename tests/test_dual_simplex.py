@@ -266,3 +266,66 @@ def test_presolve_singleton_row_infeasible():
     s = Settings()
     raw = solve_lp_simplex(p, s, Timer(60))
     assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE
+
+
+def test_degenerate_lp_solves():
+    """Highly degenerate LP (many tied ratios) — the Harris-style
+    tie-break must keep the pivots stable (reference phase2.cpp two-pass
+    ratio test)."""
+    import numpy as np
+
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+    from cuopt_tpu.lp.settings import PDLPSolverSettings as Settings
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+    from cuopt_tpu.utils.timer import Timer
+
+    # transportation-style LP where many basic solutions are degenerate:
+    # assignment polytope with equal supplies/demands
+    n = 8
+    rows = []
+    cols_idx = []
+    vals = []
+    # supply rows: sum_j x_ij = 1
+    for i in range(n):
+        for j in range(n):
+            rows.append(i)
+            cols_idx.append(i * n + j)
+            vals.append(1.0)
+    # demand rows: sum_i x_ij = 1
+    for j in range(n):
+        for i in range(n):
+            rows.append(n + j)
+            cols_idx.append(i * n + j)
+            vals.append(1.0)
+    order = np.lexsort((cols_idx, rows))
+    rows = np.asarray(rows)[order]
+    cols_idx = np.asarray(cols_idx)[order]
+    vals = np.asarray(vals)[order]
+    offsets = np.zeros(2 * n + 1, np.int64)
+    np.add.at(offsets, rows + 1, 1)
+    offsets = np.cumsum(offsets)
+    rng = np.random.default_rng(3)
+    cost = rng.integers(1, 10, n * n).astype(float)  # integer ties
+    p = OptimizationProblem(
+        offsets=offsets, indices=cols_idx.astype(np.int64), values=vals,
+        objective_coefficients=cost, objective_offset=0.0,
+        maximize=False,
+        constraint_lower_bounds=np.ones(2 * n),
+        constraint_upper_bounds=np.ones(2 * n),
+        row_types=np.array(["E"] * (2 * n)), rhs=np.ones(2 * n),
+        variable_lower_bounds=np.zeros(n * n),
+        variable_upper_bounds=np.ones(n * n),
+        variable_types=np.array(["C"] * (n * n)),
+        variable_names=None, row_names=None,
+    )
+    s = Settings()
+    raw = solve_lp_simplex(p, s, Timer(60))
+    assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    # LP relaxation of assignment is integral: check a valid assignment
+    x = raw["primal_solution"].reshape(n, n)
+    assert np.allclose(x.sum(axis=0), 1, atol=1e-6)
+    assert np.allclose(x.sum(axis=1), 1, atol=1e-6)
+    # objective equals the exact scipy-free greedy check: just verify
+    # it's at most the identity assignment's cost
+    assert raw["primal_objective"] <= cost.reshape(n, n).trace() + 1e-6
