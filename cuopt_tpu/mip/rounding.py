@@ -62,3 +62,89 @@ def make_roundings(prob, x_relax, n_random=6, seed=0):
         )
         outs.append(clampround(xr))
     return outs
+
+
+def constraint_prop_rounding(prob, x_relax, int_tol=1e-6):
+    """Constraint-propagation rounding (reference
+    local_search/rounding/constraint_prop.cu): round integers ONE AT A
+    TIME, most-fractional last, propagating bounds after each fix so
+    later roundings respect the implications of earlier ones. Returns a
+    candidate x (may still be infeasible) or None when propagation
+    proves the partial rounding dead."""
+    from cuopt_tpu.mip.presolve import propagate_bounds
+
+    x = np.asarray(x_relax, float).copy()
+    is_int = prob.variable_types == "I"
+    lv = prob.variable_lower_bounds.astype(float).copy()
+    uv = prob.variable_upper_bounds.astype(float).copy()
+    frac = np.where(is_int, np.abs(x - np.round(x)), -1.0)
+    order = np.argsort(frac)  # confident (near-integral) first
+    for j in order:
+        if not is_int[j]:
+            continue
+        v = float(np.clip(np.round(x[j]), lv[j], uv[j]))
+        lv[j] = uv[j] = v
+        x[j] = v
+        if frac[j] > 0.25:  # only propagate where rounding is uncertain
+            pres = propagate_bounds(
+                prob.offsets, prob.indices, prob.values,
+                prob.constraint_lower_bounds,
+                prob.constraint_upper_bounds,
+                lv, uv, is_int, max_rounds=1,
+            )
+            if pres.infeasible:
+                return None
+            lv, uv = pres.lv, pres.uv
+            x = np.clip(x, lv, uv)
+    return np.clip(np.where(is_int, np.round(x), x), lv, uv)
+
+
+def bounds_repair_rounding(prob, x, max_rounds=50):
+    """Bounds-repair rounding (reference
+    local_search/rounding/bounds_repair.cu): walk the violated
+    constraints and shift the variable with the largest leverage
+    (|a_ij| * available slack toward its bound) by integer steps until
+    the row is satisfied or no variable can move. Continuous variables
+    move fractionally. Returns the repaired x (feasible or best-effort).
+    """
+    x = np.asarray(x, float).copy()
+    is_int = prob.variable_types == "I"
+    lv, uv = prob.variable_lower_bounds, prob.variable_upper_bounds
+    rows = np.repeat(
+        np.arange(prob.n_constraints, dtype=np.int64),
+        np.diff(prob.offsets),
+    )
+    for _ in range(max_rounds):
+        act = np.zeros(prob.n_constraints)
+        np.add.at(act, rows, prob.values * x[prob.indices])
+        lo_v = np.where(np.isfinite(prob.constraint_lower_bounds),
+                        prob.constraint_lower_bounds - act, 0.0)
+        hi_v = np.where(np.isfinite(prob.constraint_upper_bounds),
+                        act - prob.constraint_upper_bounds, 0.0)
+        viol = np.maximum(np.maximum(lo_v, hi_v), 0.0)
+        i = int(np.argmax(viol))
+        if viol[i] <= 1e-6:
+            return x
+        need = lo_v[i] if lo_v[i] > hi_v[i] else -hi_v[i]  # signed need
+        a, b = prob.offsets[i], prob.offsets[i + 1]
+        cols = prob.indices[a:b]
+        coefs = prob.values[a:b]
+        # room of each variable in the helpful direction
+        room = np.where(coefs * need > 0,
+                        np.where(coefs > 0, uv[cols] - x[cols],
+                                 x[cols] - lv[cols]),
+                        np.where(coefs > 0, x[cols] - lv[cols],
+                                 uv[cols] - x[cols]))
+        lever = np.abs(coefs) * np.maximum(room, 0.0)
+        k = int(np.argmax(lever))
+        if lever[k] <= 1e-12:
+            return x  # stuck: no variable can reduce this violation
+        j = int(cols[k])
+        step = need / coefs[k]
+        if is_int[j]:
+            step = np.ceil(abs(step)) * np.sign(step)
+        new = float(np.clip(x[j] + step, lv[j], uv[j]))
+        if abs(new - x[j]) < 1e-12:
+            return x
+        x[j] = new
+    return x

@@ -18,7 +18,12 @@ from cuopt_tpu import constants as C
 from cuopt_tpu.lp.settings import MIPSolverSettings, PDLPSolverSettings
 from cuopt_tpu.lp.solution import Solution
 from cuopt_tpu.mip.presolve import propagate_bounds
-from cuopt_tpu.mip.rounding import is_feasible, make_roundings
+from cuopt_tpu.mip.rounding import (
+    bounds_repair_rounding,
+    constraint_prop_rounding,
+    is_feasible,
+    make_roundings,
+)
 from cuopt_tpu.utils.logger import get_logger, solve_log_context
 from cuopt_tpu.utils.timer import Timer
 
@@ -266,6 +271,13 @@ def _run_mip(prob, settings, timer, log):
             pop.add(x0)
     incumbent, incumbent_obj = None, math.inf
     starts = make_roundings(pint, x_relax, n_random=5)
+    # constraint-prop rounding + bounds-repaired variants (reference
+    # local_search/rounding/{constraint_prop,bounds_repair}.cu)
+    cp = constraint_prop_rounding(pint, x_relax)
+    if cp is not None:
+        starts.append(cp)
+    for xr in list(starts[:3]):
+        starts.append(bounds_repair_rounding(pint, xr))
     for xr in starts:
         if is_feasible(pint, xr):
             obj = float(pint.objective_coefficients @ xr

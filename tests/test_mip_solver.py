@@ -326,3 +326,38 @@ def test_trivial_presolve_eliminates_fixed_vars():
     # optimum: 2x1+3x2 <= 4 -> best is x1=0, x2=1 (obj -4) vs x1=1,x2=0
     # (-3); with x1=x2=1 needing 5 > 4. total = 2 - 4 = -2
     assert abs(sol.get_primal_objective() - (-2.0)) < 1e-6
+
+
+def test_constraint_prop_and_bounds_repair_roundings():
+    """Rounding depth (reference local_search/rounding/): propagation-
+    aware rounding respects implications; bounds-repair fixes a violated
+    row by moving the highest-leverage variable."""
+    import numpy as np
+
+    from cuopt_tpu.mip.rounding import (
+        bounds_repair_rounding,
+        constraint_prop_rounding,
+        violation,
+    )
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+
+    # x0 + x1 <= 1 (binaries), x2 continuous in [0, 5]; relaxation point
+    # (0.5, 0.5, 2.5) would naively round to (0,0) or (1,1)
+    A = np.array([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    p = OptimizationProblem.from_dense(
+        A,
+        c=np.array([-1.0, -1.0, 0.0]),
+        constraint_lower=np.array([-np.inf, -np.inf]),
+        constraint_upper=np.array([1.0, 5.0]),
+        variable_lower=np.zeros(3),
+        variable_upper=np.array([1.0, 1.0, 5.0]),
+        variable_types=np.array(["I", "I", "C"]),
+    )
+    x = constraint_prop_rounding(p, np.array([0.5, 0.5, 2.5]))
+    assert x is not None
+    assert violation(p, x) <= 1e-6  # propagation avoided (1,1)
+
+    # bounds repair: start from the infeasible (1,1,2.5)
+    xr = bounds_repair_rounding(p, np.array([1.0, 1.0, 2.5]))
+    assert violation(p, xr) <= 1e-6
+    assert xr[0] + xr[1] <= 1 + 1e-9
