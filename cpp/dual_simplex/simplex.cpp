@@ -43,11 +43,15 @@
 namespace tpu_simplex {
 
 constexpr double kInf = std::numeric_limits<double>::infinity();
-constexpr double kBig = 1e9;       // temporary bound for free vars
-constexpr double kPivTol = 1e-9;   // minimal pivot magnitude
-constexpr double kFeasTol = 1e-7;  // primal bound tolerance
-constexpr double kDualTol = 1e-9;  // reduced-cost tolerance
-constexpr int kRefactorFreq = 100; // reference simplex_solver_settings.hpp
+// Runtime-configurable solver options (reference exposes ~30 fields in
+// simplex_solver_settings.hpp:35-67; the ds_set_options C entry at the
+// bottom sets the ones this engine consumes). Set BEFORE solving; solves
+// read them only.
+inline double kBig = 1e9;       // temporary bound for free vars
+inline double kPivTol = 1e-9;   // minimal pivot magnitude
+inline double kFeasTol = 1e-7;  // primal bound tolerance
+inline double kDualTol = 1e-9;  // reduced-cost tolerance
+inline int kRefactorFreq = 100; // reference simplex_solver_settings.hpp
 
 enum Status : int {
   kOptimal = 0,
@@ -866,6 +870,25 @@ int ds_solve_adv(int m, int n, const int64_t* col_ptr,
   *obj_out = obj;
   *iters_out = iters;
   return status;
+}
+
+// Options ABI (reference simplex_solver_settings.hpp fields consumed by
+// this engine). Pass a negative value to leave a field unchanged.
+void ds_set_options(double piv_tol, double feas_tol, double dual_tol,
+                    int refactor_freq, double big_bound) {
+  if (piv_tol > 0) tpu_simplex::kPivTol = piv_tol;
+  if (feas_tol > 0) tpu_simplex::kFeasTol = feas_tol;
+  if (dual_tol > 0) tpu_simplex::kDualTol = dual_tol;
+  if (refactor_freq > 0) tpu_simplex::kRefactorFreq = refactor_freq;
+  if (big_bound > 0) tpu_simplex::kBig = big_bound;
+}
+
+void ds_get_options(double* out5) {
+  out5[0] = tpu_simplex::kPivTol;
+  out5[1] = tpu_simplex::kFeasTol;
+  out5[2] = tpu_simplex::kDualTol;
+  out5[3] = static_cast<double>(tpu_simplex::kRefactorFreq);
+  out5[4] = tpu_simplex::kBig;
 }
 
 // Original ABI (cold start), kept for compatibility.

@@ -195,3 +195,46 @@ def solve_lp_simplex(prob, settings, timer, halt=None, vstat=None,
     if vstat_out is not None:
         raw["vstat"] = vstat_out
     return raw
+
+
+def set_simplex_options(pivot_tolerance=None, primal_feasibility_tolerance=None,
+                        dual_feasibility_tolerance=None,
+                        refactor_frequency=None, big_bound=None):
+    """Configure the native simplex (reference
+    simplex_solver_settings.hpp:35-67 exposes the same knobs). Unset
+    fields keep their current values. Set before solving; concurrent
+    solves share the options."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native simplex library unavailable")
+    if not hasattr(lib, "ds_set_options"):
+        raise RuntimeError("libtpu_simplex.so predates ds_set_options")
+    lib.ds_set_options.restype = None
+    lib.ds_set_options.argtypes = [
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double,
+    ]
+    lib.ds_set_options(
+        -1.0 if pivot_tolerance is None else float(pivot_tolerance),
+        -1.0 if primal_feasibility_tolerance is None
+        else float(primal_feasibility_tolerance),
+        -1.0 if dual_feasibility_tolerance is None
+        else float(dual_feasibility_tolerance),
+        -1 if refactor_frequency is None else int(refactor_frequency),
+        -1.0 if big_bound is None else float(big_bound),
+    )
+
+
+def get_simplex_options() -> dict:
+    lib = load_library()
+    lib.ds_get_options.restype = None
+    lib.ds_get_options.argtypes = [np.ctypeslib.ndpointer(np.float64)]
+    out = np.zeros(5)
+    lib.ds_get_options(out)
+    return {
+        "pivot_tolerance": out[0],
+        "primal_feasibility_tolerance": out[1],
+        "dual_feasibility_tolerance": out[2],
+        "refactor_frequency": int(out[3]),
+        "big_bound": out[4],
+    }

@@ -329,3 +329,34 @@ def test_degenerate_lp_solves():
     # objective equals the exact scipy-free greedy check: just verify
     # it's at most the identity assignment's cost
     assert raw["primal_objective"] <= cost.reshape(n, n).trace() + 1e-6
+
+
+def test_simplex_options_roundtrip():
+    """Runtime simplex options (reference simplex_solver_settings.hpp
+    fields): set, read back, and solve under modified tolerances."""
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.dual_simplex.bindings import (
+        get_simplex_options,
+        set_simplex_options,
+        solve_lp_simplex,
+    )
+    from cuopt_tpu.io.mps_parser import parse_mps
+    from cuopt_tpu.lp.settings import PDLPSolverSettings as Settings
+    from cuopt_tpu.utils.timer import Timer
+
+    base = get_simplex_options()
+    try:
+        set_simplex_options(refactor_frequency=50,
+                            primal_feasibility_tolerance=1e-8)
+        opts = get_simplex_options()
+        assert opts["refactor_frequency"] == 50
+        assert abs(opts["primal_feasibility_tolerance"] - 1e-8) < 1e-15
+        p = parse_mps(
+            "/root/reference/datasets/linear_programming/"
+            "afiro_original.mps"
+        )
+        raw = solve_lp_simplex(p, Settings(), Timer(60))
+        assert raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+        assert abs(raw["primal_objective"] + 464.7531) < 1e-2
+    finally:
+        set_simplex_options(**base)
