@@ -225,3 +225,51 @@ def prize_filter(prob, routes, unassigned):
                     unassigned.remove(u)
                 changed = True
     return routes, unassigned
+
+
+def set_covering_child(prob, members, rng):
+    """Set-covering route selection (reference crossovers/
+    set_covering.hpp): pool the ROUTES of several population members and
+    greedily pick a minimum-cost subset covering every order, then strip
+    duplicate orders (cheapest keeper wins) and reinsert leftovers.
+
+    A strong intensification step: good routes discovered in ANY member
+    can be recombined wholesale."""
+    from cuopt_tpu.routing.construction import smart_reinsert
+
+    pool = []  # (cost_per_order, orders frozenset, vehicle, route)
+    for mem in members:
+        for v, r in mem["routes"].items():
+            if not r:
+                continue
+            c = prob.route_cost(v, r)
+            pool.append((c / max(len(r), 1), frozenset(r), v, list(r)))
+    if not pool:
+        return None
+    pool.sort(key=lambda t: t[0])
+    uncovered = set(range(prob.n_serve))
+    chosen = []
+    used_vehicles = set()
+    for cpo, orders, v, r in pool:
+        gain = len(orders & uncovered)
+        if gain == 0 or v in used_vehicles:
+            continue
+        chosen.append((v, r))
+        used_vehicles.add(v)
+        uncovered -= orders
+        if not uncovered:
+            break
+    routes = {v: [] for v in range(prob.n_fleet)}
+    placed = set()
+    for v, r in chosen:
+        keep = [o for o in r if o not in placed]
+        routes[v] = keep
+        placed.update(keep)
+    leftovers = [o for o in range(prob.n_serve) if o not in placed]
+    # strip any route made infeasible by duplicate removal
+    for v in range(prob.n_fleet):
+        if routes[v] and not prob.route_feasible(v, routes[v]):
+            leftovers.extend(routes[v])
+            routes[v] = []
+    routes, unassigned = smart_reinsert(prob, routes, leftovers, rng)
+    return routes, unassigned

@@ -359,6 +359,16 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
             # EAX: the reference's strongest recombiner
             # (crossovers/eax_recombiner.hpp)
             child = eax(prob, pa, pb, rng)
+        if child is None and op < 0.40 and pa is not pb and \
+                len(pop.members) >= 3:
+            # set-covering over several members' route pools
+            from cuopt_tpu.routing.diversity import set_covering_child
+
+            sample = [pop.members[int(i)] for i in rng.choice(
+                len(pop.members), size=min(4, len(pop.members)),
+                replace=False,
+            )]
+            child = set_covering_child(prob, sample, rng)
         if child is None and op < 0.50 and pa is not pb:
             child = srex(prob, pa, pb, rng)
         elif child is None and op < 0.60:

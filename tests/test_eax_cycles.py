@@ -146,3 +146,29 @@ def test_hvrp_reassign_moves_route_to_cheaper_vehicle():
     new_routes, improved = hvrp_reassign(prob, lsp, routes)
     assert improved
     assert new_routes[1] == [0, 1, 2] and new_routes[0] == []
+
+
+def test_set_covering_child_covers_all():
+    """Set-covering route selection (reference crossovers/
+    set_covering.hpp): child from pooled member routes serves every
+    order exactly once."""
+    prob = _problem(n=30, seed=4)
+    members = []
+    for seed in (0, 1, 2):
+        from cuopt_tpu.routing.construction import cheapest_insertion
+
+        rng = np.random.default_rng(seed)
+        r, u = cheapest_insertion(prob, rng=rng, noise=0.4 * seed)
+        members.append({"routes": r, "unassigned": u})
+    from cuopt_tpu.routing.diversity import set_covering_child
+
+    out = set_covering_child(prob, members, np.random.default_rng(9))
+    assert out is not None
+    routes, unassigned = out
+    served = sorted(
+        [o for r in routes.values() for o in r] + list(unassigned)
+    )
+    assert served == list(range(prob.n_serve))
+    for v, r in routes.items():
+        if r:
+            assert prob.route_feasible(v, r)
