@@ -41,12 +41,20 @@ def solution_distance(ra, rb):
 
 
 class RoutingPopulation:
-    """Fixed-size pool of (cost, n_unassigned, routes, unassigned)."""
+    """Fixed-size pool of (cost, n_unassigned, routes, unassigned).
 
-    def __init__(self, max_size=8, min_distance=0.05):
+    Optionally split into ISLANDS (reference diverse_solver.hpp:151):
+    each island evolves on its own members; migrate() copies each
+    island's champion into the next island, preserving diversity while
+    spreading the best genes."""
+
+    def __init__(self, max_size=8, min_distance=0.05, n_islands=1):
         self.max_size = max_size
         self.min_distance = min_distance
+        self.n_islands = max(1, n_islands)
         self.members = []  # list of dicts
+        self._next_island = 0
+        self._adds = 0
 
     @property
     def best(self):
@@ -57,7 +65,9 @@ class RoutingPopulation:
         key = (len(unassigned), cost)
         routes = {v: list(r) for v, r in routes.items()}
         entry = dict(cost=cost, n_un=len(unassigned), routes=routes,
-                     unassigned=list(unassigned), key=key)
+                     unassigned=list(unassigned), key=key,
+                     island=self._next_island % self.n_islands)
+        self._next_island += 1
         # reject near-duplicates unless strictly better than the twin
         for i, m in enumerate(self.members):
             if solution_distance(m["routes"], routes) < self.min_distance:
@@ -75,8 +85,34 @@ class RoutingPopulation:
     def parents(self, rng):
         if len(self.members) == 1:
             return self.members[0], self.members[0]
+        if self.n_islands > 1:
+            # prefer intra-island pairs (islands evolve independently;
+            # migration is the only inter-island gene flow)
+            isl = int(rng.integers(self.n_islands))
+            pool = [m for m in self.members
+                    if m.get("island", 0) == isl]
+            if len(pool) >= 2:
+                i, j = rng.choice(len(pool), size=2, replace=False)
+                return pool[int(i)], pool[int(j)]
         i, j = rng.choice(len(self.members), size=2, replace=False)
         return self.members[int(i)], self.members[int(j)]
+
+    def migrate(self, prob):
+        """Copy each island's champion into the next island (ring
+        migration, reference island model)."""
+        if self.n_islands <= 1 or not self.members:
+            return
+        champs = {}
+        for m in self.members:
+            isl = m.get("island", 0)
+            if isl not in champs or m["key"] < champs[isl]["key"]:
+                champs[isl] = m
+        for isl, m in list(champs.items()):
+            clone = dict(m)
+            clone["island"] = (isl + 1) % self.n_islands
+            self.members.append(clone)
+        self.members.sort(key=lambda e: e["key"])
+        del self.members[self.max_size:]
 
 
 def srex(prob, pa, pb, rng):

@@ -331,7 +331,7 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     if prob.prizes is not None:
         routes, unassigned = prize_filter(prob, routes, unassigned)
 
-    pop = RoutingPopulation()
+    pop = RoutingPopulation(n_islands=2 if prob.n_serve >= 50 else 1)
     pop.add(prob, pre_ges, unassigned)
     pop.add(prob, routes, unassigned)
 
@@ -383,6 +383,8 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
         if prob.prizes is not None:
             routes, un2 = prize_filter(prob, routes, un2)
         pop.add(prob, routes, un2)
+        if rng.random() < 0.05:
+            pop.migrate(prob)  # ring migration between islands
         if dump_path and dump_interval and \
                 _time.monotonic() - last_dump >= dump_interval:
             _dump_best(prob, pop.best, dump_path)
