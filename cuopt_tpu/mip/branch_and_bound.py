@@ -308,6 +308,49 @@ class BranchAndBound:
         self.simplex_iters += raw["iterations"]
         return raw
 
+    def _node_problem(self, lv, uv):
+        sub = self.prob
+        return type(sub)(
+            offsets=sub.offsets, indices=sub.indices, values=sub.values,
+            objective_coefficients=sub.objective_coefficients,
+            objective_offset=sub.objective_offset,
+            maximize=False,
+            constraint_lower_bounds=sub.constraint_lower_bounds,
+            constraint_upper_bounds=sub.constraint_upper_bounds,
+            row_types=sub.row_types, rhs=sub.rhs,
+            variable_lower_bounds=lv, variable_upper_bounds=uv,
+            variable_types=sub.variable_types,
+            variable_names=sub.variable_names, row_names=sub.row_names,
+        )
+
+    def _solve_relaxations_batch(self, nodes, timer):
+        """Batched node relaxations (BASELINE.json: "branch-and-bound
+        with batched node LP relaxations ... vmapped across the tree
+        frontier"): the frontier nodes share one sparsity pattern (only
+        the variable bounds differ), so lp/batch.py stacks them into ONE
+        vmapped PDLP program. Returns raw dicts per node; falls back to
+        sequential solves on any batching failure."""
+        from cuopt_tpu.lp.batch import batch_solve
+
+        s = PDLPSolverSettings()
+        s.method = C.CUOPT_METHOD_PDLP
+        s.set_optimality_tolerance(self.node_lp_tol)
+        s.detect_infeasibility = True
+        s.iteration_limit = 50_000
+        if timer is not None:
+            s.time_limit = max(timer.remaining(), 0.5)
+        probs = [self._node_problem(n.lv, n.uv) for n in nodes]
+        try:
+            sols = batch_solve(probs, s)
+            raws = [sol._raw for sol in sols]
+        except Exception:  # noqa: BLE001 — robust fallback
+            raws = [self._solve_relaxation(n.lv, n.uv, n.x_warm,
+                                           n.y_warm, timer)
+                    for n in nodes]
+        for r in raws:
+            self.simplex_iters += r.get("iterations", 0)
+        return raws
+
     def _propagate(self, lv, uv):
         p = self.prob
         return propagate_bounds(
@@ -349,27 +392,47 @@ class BranchAndBound:
             return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
         heap = [_Node(-math.inf, seq, pres.lv, pres.uv)]
         complete = False
-        while heap:
+        pending: list[tuple[_Node, dict]] = []
+        while heap or pending:
             if timer.expired() or (halt is not None and halt.is_set()):
                 break
             if self.nodes_explored >= self.max_nodes:
                 break
-            node = heapq.heappop(heap)
-            # best-first: heap top is the global bound
-            self.best_bound = max(self.best_bound, node.bound) \
-                if node.bound > -math.inf else self.best_bound
-            if self.incumbent is not None and node.bound >= (
-                self.incumbent_obj - 1e-12
-            ):
-                # every open node's (rigorous) bound >= incumbent: done
-                self.best_bound = self.incumbent_obj
-                complete = True
-                break
-            raw = self._solve_relaxation(
-                node.lv, node.uv, node.x_warm, node.y_warm, timer,
-                effort=node.effort, vstat=node.vstat,
-            )
-            self.nodes_explored += 1
+            if pending:
+                node, raw = pending.pop(0)
+                if self.incumbent is not None and node.bound >= (
+                    self.incumbent_obj - 1e-12
+                ):
+                    continue  # pruned while waiting in the batch
+            else:
+                node = heapq.heappop(heap)
+                # best-first: heap top is the global bound
+                self.best_bound = max(self.best_bound, node.bound) \
+                    if node.bound > -math.inf else self.best_bound
+                if self.incumbent is not None and node.bound >= (
+                    self.incumbent_obj - 1e-12
+                ):
+                    # every open node's (rigorous) bound >= incumbent
+                    self.best_bound = self.incumbent_obj
+                    complete = True
+                    break
+                if not self.use_simplex and len(heap) >= 3 and \
+                        node.effort == 1:
+                    # batched frontier relaxations (one vmapped program)
+                    batch = [node]
+                    while heap and len(batch) < 8 and \
+                            heap[0].effort == 1:
+                        batch.append(heapq.heappop(heap))
+                    raws = self._solve_relaxations_batch(batch, timer)
+                    self.nodes_explored += len(batch)
+                    pending = list(zip(batch, raws))
+                    node, raw = pending.pop(0)
+                else:
+                    raw = self._solve_relaxation(
+                        node.lv, node.uv, node.x_warm, node.y_warm,
+                        timer, effort=node.effort, vstat=node.vstat,
+                    )
+                    self.nodes_explored += 1
             if raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
                 continue
             # Rigorous node bound from the dual iterate, valid even for

@@ -118,3 +118,53 @@ def test_safe_dual_bound_is_rigorous():
     assert b_star >= lp_opt - 1e-2 * max(1.0, abs(lp_opt))
     # and -inf/NaN never escape
     assert not math.isnan(b_star)
+
+
+def test_batched_frontier_relaxations():
+    """BASELINE.json config 4: node LP relaxations batched across the
+    tree frontier as ONE vmapped PDLP program (lp/batch.py stacking;
+    nodes share the sparsity pattern, only bounds differ)."""
+    # wider instance so the frontier holds >= 4 open nodes
+    rng = np.random.default_rng(5)
+    nvar = 12
+    A = rng.integers(1, 9, (3, nvar)).astype(float)
+    p = OptimizationProblem.from_dense(
+        A,
+        c=-(rng.integers(3, 20, nvar).astype(float)),
+        constraint_lower=np.full(3, -np.inf),
+        constraint_upper=A.sum(axis=1) * 0.4,
+        variable_lower=np.zeros(nvar),
+        variable_upper=np.ones(nvar),
+        variable_types=np.array(["I"] * nvar),
+    )
+    bnb = BranchAndBound(p, MIPSolverSettings())
+    bnb.use_simplex = False  # force the PDLP node engine
+    calls = {"batched": 0, "single": 0}
+    orig_batch = bnb._solve_relaxations_batch
+    orig_single = bnb._solve_relaxation
+
+    def spy_batch(nodes, timer):
+        calls["batched"] += len(nodes)
+        return orig_batch(nodes, timer)
+
+    def spy_single(*a, **k):
+        calls["single"] += 1
+        return orig_single(*a, **k)
+
+    bnb._solve_relaxations_batch = spy_batch
+    bnb._solve_relaxation = spy_single
+    res = bnb.solve(Timer(300.0))
+    assert res["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    x = res["incumbent"]
+    assert np.allclose(x, np.round(x), atol=1e-6)
+    assert res["best_bound"] <= res["incumbent_obj"] + 1e-6
+    # the frontier got wide enough at least once to batch
+    assert calls["batched"] >= 4, calls
+    # cross-check against brute force
+    best = 0.0
+    c = p.objective_coefficients
+    for mask in range(1 << 12):
+        xx = np.array([(mask >> k) & 1 for k in range(12)], float)
+        if np.all(A @ xx <= A.sum(axis=1) * 0.4 + 1e-9):
+            best = min(best, float(c @ xx))
+    assert abs(res["incumbent_obj"] - best) < 1e-6
