@@ -45,42 +45,62 @@ def propagate_bounds(
     implied variable bounds from the residual activity, integer rounding).
     """
     n = len(lc)
-    # BIG-clamp trick: represent infinite bounds as +-BIG for activity
-    # arithmetic; implied bounds beyond BIG_IMPLIED are treated as infinite
-    BIG = 1e20
-    BIG_IMPLIED = 1e18
-    lv = np.clip(lv.copy(), -BIG, BIG)
-    uv = np.clip(uv.copy(), -BIG, BIG)
+    lv = lv.astype(float).copy()
+    uv = uv.astype(float).copy()
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     cols = indices
     vals = values
     pos = vals > 0
     tightened_total = 0
+    INF_ = np.inf
 
     for rnd in range(max_rounds):
-        # per-entry activity contributions with current bounds
+        # Per-entry activity contributions with the current bounds.
+        # Infinite bounds are handled with EXPLICIT counters per row
+        # (reference bounds_presolve.cuh does the same): summing ±BIG
+        # sentinels instead loses the finite terms to floating-point
+        # absorption (eps at 1e20 is ~1e4) and produced bogus implied
+        # bounds for rows with free variables.
         lo_contrib = np.where(pos, vals * lv[cols], vals * uv[cols])
         hi_contrib = np.where(pos, vals * uv[cols], vals * lv[cols])
-        min_act = np.zeros(n)
-        max_act = np.zeros(n)
-        np.add.at(min_act, rows, lo_contrib)
-        np.add.at(max_act, rows, hi_contrib)
+        flo = np.isfinite(lo_contrib)
+        fhi = np.isfinite(hi_contrib)
+        lo_fin = np.where(flo, lo_contrib, 0.0)
+        hi_fin = np.where(fhi, hi_contrib, 0.0)
+        min_fin = np.zeros(n)
+        max_fin = np.zeros(n)
+        np.add.at(min_fin, rows, lo_fin)
+        np.add.at(max_fin, rows, hi_fin)
+        n_inf_lo = np.zeros(n, np.int64)
+        n_inf_hi = np.zeros(n, np.int64)
+        np.add.at(n_inf_lo, rows, (~flo).astype(np.int64))
+        np.add.at(n_inf_hi, rows, (~fhi).astype(np.int64))
 
-        # a min_act within BIG_IMPLIED of +-BIG means "effectively infinite"
-        min_act_fin = np.abs(min_act) < BIG_IMPLIED
-        max_act_fin = np.abs(max_act) < BIG_IMPLIED
-        if np.any(min_act_fin & np.isfinite(uc) & (min_act > uc + feas_tol)):
+        # row infeasibility: only provable when no infinite contribution
+        if np.any((n_inf_lo == 0) & np.isfinite(uc)
+                  & (min_fin > uc + feas_tol)):
             return PresolveResult(lv, uv, True, rnd + 1, tightened_total)
-        if np.any(max_act_fin & np.isfinite(lc) & (max_act < lc - feas_tol)):
+        if np.any((n_inf_hi == 0) & np.isfinite(lc)
+                  & (max_fin < lc - feas_tol)):
             return PresolveResult(lv, uv, True, rnd + 1, tightened_total)
 
+        # residual min/max activity of the row WITHOUT entry (i, j):
+        # finite iff all other contributions are finite
+        nl = n_inf_lo[rows]
+        nh = n_inf_hi[rows]
+        resid_min = np.where(
+            nl == 0, min_fin[rows] - lo_fin,
+            np.where((nl == 1) & ~flo, min_fin[rows], -INF_),
+        )
+        resid_max = np.where(
+            nh == 0, max_fin[rows] - hi_fin,
+            np.where((nh == 1) & ~fhi, max_fin[rows], INF_),
+        )
         # implied bound for entry (i, j):
-        #   a>0: x_j <= (uc_i - (min_act_i - a*lv_j)) / a
-        #        x_j >= (lc_i - (max_act_i - a*uv_j)) / a
+        #   a>0: x_j <= (uc_i - resid_min) / a ; x_j >= (lc_i - resid_max)/a
         #   a<0: mirrored
-        resid_min = min_act[rows] - lo_contrib  # activity without entry
-        resid_max = max_act[rows] - hi_contrib
-        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
             ub_from_uc = np.where(
                 pos, (uc[rows] - resid_min) / vals,
                 (lc[rows] - resid_max) / vals,
@@ -89,23 +109,21 @@ def propagate_bounds(
                 pos, (lc[rows] - resid_max) / vals,
                 (uc[rows] - resid_min) / vals,
             )
-        # only usable when the governing bound is finite and the residual
-        # activity is genuinely finite
         gov_ub_ok = np.where(
             pos,
-            np.isfinite(uc[rows]) & (np.abs(resid_min) < BIG_IMPLIED),
-            np.isfinite(lc[rows]) & (np.abs(resid_max) < BIG_IMPLIED),
+            np.isfinite(uc[rows]) & np.isfinite(resid_min),
+            np.isfinite(lc[rows]) & np.isfinite(resid_max),
         )
         gov_lb_ok = np.where(
             pos,
-            np.isfinite(lc[rows]) & (np.abs(resid_max) < BIG_IMPLIED),
-            np.isfinite(uc[rows]) & (np.abs(resid_min) < BIG_IMPLIED),
+            np.isfinite(lc[rows]) & np.isfinite(resid_max),
+            np.isfinite(uc[rows]) & np.isfinite(resid_min),
         )
         ub_from_uc = np.where(
-            gov_ub_ok & np.isfinite(ub_from_uc), ub_from_uc, BIG
+            gov_ub_ok & np.isfinite(ub_from_uc), ub_from_uc, INF_
         )
         lb_from_lc = np.where(
-            gov_lb_ok & np.isfinite(lb_from_lc), lb_from_lc, -BIG
+            gov_lb_ok & np.isfinite(lb_from_lc), lb_from_lc, -INF_
         )
 
         new_uv = uv.copy()
@@ -114,11 +132,11 @@ def propagate_bounds(
         np.maximum.at(new_lv, cols, lb_from_lc)
         # integer rounding
         new_uv = np.where(
-            is_integer & (np.abs(new_uv) < BIG_IMPLIED),
+            is_integer & np.isfinite(new_uv),
             np.floor(new_uv + int_tol), new_uv,
         )
         new_lv = np.where(
-            is_integer & (np.abs(new_lv) < BIG_IMPLIED),
+            is_integer & np.isfinite(new_lv),
             np.ceil(new_lv - int_tol), new_lv,
         )
         # keep only genuine tightenings (avoid loosening)
@@ -127,20 +145,24 @@ def propagate_bounds(
         if np.any(new_lv > new_uv + feas_tol):
             return PresolveResult(new_lv, new_uv, True, rnd + 1,
                                   tightened_total)
-        changed = int(np.sum(new_uv < uv - 1e-12) +
-                      np.sum(new_lv > lv + 1e-12))
+        with np.errstate(invalid="ignore"):
+            changed = int(
+                np.sum(np.where(np.isfinite(uv) | np.isfinite(new_uv),
+                                new_uv < uv - 1e-12, False))
+                + np.sum(np.where(np.isfinite(lv) | np.isfinite(new_lv),
+                                  new_lv > lv + 1e-12, False))
+            )
         tightened_total += changed
         lv, uv = new_lv, new_uv
         if changed == 0:
             break
     # clamp tiny inversions from rounding
-    mid = (lv + uv) / 2
-    bad = lv > uv
-    lv = np.where(bad, mid, lv)
-    uv = np.where(bad, mid, uv)
-    # restore infinities
-    lv = np.where(lv <= -BIG_IMPLIED, -INF, lv)
-    uv = np.where(uv >= BIG_IMPLIED, INF, uv)
+    with np.errstate(invalid="ignore"):
+        bad = lv > uv
+    if bad.any():
+        mid = (lv[bad] + uv[bad]) / 2
+        lv[bad] = mid
+        uv[bad] = mid
     return PresolveResult(lv, uv, False, rnd + 1, tightened_total)
 
 

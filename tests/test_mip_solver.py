@@ -361,3 +361,96 @@ def test_constraint_prop_and_bounds_repair_roundings():
     xr = bounds_repair_rounding(p, np.array([1.0, 1.0, 2.5]))
     assert violation(p, xr) <= 1e-6
     assert xr[0] + xr[1] <= 1 + 1e-9
+
+
+def test_propagation_free_variable_rows():
+    """Regression: rows containing FREE variables must not produce
+    implied bounds (the old ±1e20 sentinel arithmetic absorbed the
+    finite terms and fabricated bounds that cut off the optimum —
+    observed on neos5-free-bound.mps)."""
+    import numpy as np
+
+    from cuopt_tpu.mip.presolve import propagate_bounds
+
+    # x0 free, x1 in [0, 10]; row: x0 + x1 <= 5 -> implies x1 <= 5?? NO:
+    # x0 can be arbitrarily negative, so x1 keeps [0, 10]. And x0 gets
+    # NO upper bound from the row either (x1 >= 0 gives x0 <= 5).
+    offsets = np.array([0, 2])
+    indices = np.array([0, 1])
+    values = np.array([1.0, 1.0])
+    res = propagate_bounds(
+        offsets, indices, values,
+        np.array([-np.inf]), np.array([5.0]),
+        np.array([-np.inf, 0.0]), np.array([np.inf, 10.0]),
+        np.array([False, False]),
+    )
+    assert not res.infeasible
+    # x0's upper bound IS implied (resid of x1's min = 0): x0 <= 5
+    assert res.uv[0] == 5.0
+    assert not np.isfinite(res.lv[0])
+    # x1 must NOT be tightened (x0 free below)
+    assert res.lv[1] == 0.0 and res.uv[1] == 10.0
+
+    # two free variables in one row: nothing can be implied
+    res2 = propagate_bounds(
+        offsets, indices, values,
+        np.array([-np.inf]), np.array([5.0]),
+        np.array([-np.inf, -np.inf]), np.array([np.inf, np.inf]),
+        np.array([False, False]),
+    )
+    assert not res2.infeasible
+    assert not np.isfinite(res2.uv).any()
+    assert not np.isfinite(res2.lv).any()
+
+
+def test_real_mip_instances():
+    """Reference MIP datasets end-to-end (reference miplib_test.cu
+    solves these in CI): optimality on the small ones, a feasible
+    incumbent with a rigorous bound on neos5."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    root = "/root/reference/datasets/mip"
+    if not os.path.isdir(root):
+        _pytest.skip("reference datasets not mounted")
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.io import parse_mps
+    from cuopt_tpu.lp.settings import MIPSolverSettings
+    from cuopt_tpu.mip.solve import solve_mip
+
+    p = parse_mps(os.path.join(root, "sample.mps"))
+    s = MIPSolverSettings()
+    s.time_limit = 30
+    sol = solve_mip(p, s)
+    assert sol.get_termination_status() == \
+        C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+    assert abs(sol.get_primal_objective() + 28.0) < 1e-6
+
+    p = parse_mps(os.path.join(root, "sudoku.mps"))
+    s = MIPSolverSettings()
+    s.time_limit = 60
+    sol = solve_mip(p, s)
+    assert sol.get_termination_status() == \
+        C.CUOPT_TERIMINATION_STATUS_OPTIMAL
+
+    # neos5 (free-bound variant): known optimum 15; within a short
+    # budget we require a feasible incumbent and a VALID bound bracket
+    p = parse_mps(os.path.join(root, "neos5-free-bound.mps"))
+    s = MIPSolverSettings()
+    s.time_limit = 45
+    sol = solve_mip(p, s)
+    assert sol.get_termination_status() in (
+        C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+        C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND,
+    )
+    obj = sol.get_primal_objective()
+    bound = sol.get_solution_bound()
+    assert obj >= 15.0 - 1e-6  # never better than the true optimum
+    assert bound <= 15.0 + 1e-6  # bound must bracket the true optimum
+    x = sol.get_primal_solution()
+    assert np.allclose(
+        x[p.variable_types == "I"],
+        np.round(x[p.variable_types == "I"]), atol=1e-5,
+    )
