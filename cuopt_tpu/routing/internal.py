@@ -105,6 +105,7 @@ class RoutingProblem:
                         breaks=[])
         pending = list(self.breaks[vehicle]) if self.has_breaks(vehicle) \
             else []
+        pending_ct = len(pending)
         cur_loc = self.veh_start[vehicle]
         now = self.veh_tw_early[vehicle]
         cost = float(self.veh_fixed_cost[vehicle]) if route else 0.0
@@ -181,10 +182,94 @@ class RoutingProblem:
             now = now + t[cur_loc, self.veh_return[vehicle]]
         if now > self.veh_tw_late[vehicle] + 1e-9:
             ok = False
+        if not ok and 0 < pending_ct <= 3:
+            exact = self._route_plan_exact_breaks(vehicle, route)
+            if exact is not None:
+                return exact
         return dict(
             arrivals=np.asarray(arr), time_ok=ok, cost=cost,
             end_time=float(now), breaks=events,
         )
+
+    def _route_plan_exact_breaks(self, vehicle: int, route: list[int]):
+        """Exact break scheduling by position enumeration (reference
+        treats breaks as route NODES whose position the search chooses,
+        node/break_node.cuh). The take-late greedy in route_plan is a
+        fast approximation; when it reports infeasible and the vehicle
+        has <= 3 breaks, this enumerates all ordered break positions
+        (start-as-early-as-allowed within a placement is optimal for
+        makespan) and returns the first feasible plan, else None."""
+        from itertools import combinations_with_replacement
+
+        ti = self.type_index[int(self.veh_type[vehicle])]
+        t = self.time_mats[ti]
+        cmat = self.cost_mats[ti]
+        brs = list(self.breaks[vehicle])
+        L = len(route)
+        best = None
+        for positions in combinations_with_replacement(range(L + 1),
+                                                       len(brs)):
+            now = float(self.veh_tw_early[vehicle])
+            cur_loc = int(self.veh_start[vehicle])
+            cost = float(self.veh_fixed_cost[vehicle]) if route else 0.0
+            arr = []
+            events = []
+            ok = True
+            bi = 0
+
+            def take(b, next_loc):
+                nonlocal now, cur_loc, cost, ok
+                if b["locs"] is not None and len(b["locs"]):
+                    bls = np.asarray(b["locs"], np.int64)
+                    detour = cmat[cur_loc, bls] + (
+                        cmat[bls, next_loc] - cmat[cur_loc, next_loc]
+                        if next_loc >= 0 else 0.0
+                    )
+                    bl = int(bls[int(np.argmin(detour))])
+                    start = max(now + t[cur_loc, bl], b["early"])
+                    cost += float(cmat[cur_loc, bl])
+                    cur_loc = bl
+                else:
+                    start = max(now, b["early"])
+                if start > b["late"] + 1e-9:
+                    ok = False
+                events.append(dict(start=float(start),
+                                   duration=float(b["duration"]),
+                                   location=int(cur_loc)))
+                now = start + b["duration"]
+
+            for k, o in enumerate(route):
+                while bi < len(brs) and positions[bi] == k:
+                    take(brs[bi], int(self.order_loc[o]))
+                    bi += 1
+                lo = int(self.order_loc[o])
+                skip_leg = k == 0 and self.skip_first[vehicle]
+                travel = 0.0 if skip_leg else t[cur_loc, lo]
+                if not skip_leg:
+                    cost += float(cmat[cur_loc, lo])
+                a = max(now + travel, self.tw_early[o])
+                if a > self.tw_late[o] + 1e-9:
+                    ok = False
+                    break
+                arr.append(a)
+                now = a + self.service[o]
+                cur_loc = lo
+            if not ok:
+                continue
+            end_loc = int(self.veh_return[vehicle])                 if not self.drop_return[vehicle] else -1
+            while bi < len(brs):
+                take(brs[bi], end_loc)
+                bi += 1
+            if route and not self.drop_return[vehicle]:
+                cost += float(cmat[cur_loc, self.veh_return[vehicle]])
+                now = now + t[cur_loc, self.veh_return[vehicle]]
+            if now > self.veh_tw_late[vehicle] + 1e-9:
+                ok = False
+            if ok and (best is None or cost < best["cost"]):
+                best = dict(arrivals=np.asarray(arr), time_ok=True,
+                            cost=cost, end_time=float(now),
+                            breaks=events)
+        return best
 
     def route_schedule(self, vehicle: int, route: list[int]):
         """Arrival times; returns (arrivals, feasible)."""

@@ -128,3 +128,36 @@ class TestReRouting:
         assert any(isinstance(x, tuple) and x[0] == "dummy" for x in tags)
         sol2 = Solve(new_dm, settings())
         assert sol2.get_status() == SolutionStatus.SUCCESS.value
+
+
+def test_exact_break_placement_beats_greedy():
+    """Exact break scheduling (reference node/break_node.cuh treats
+    breaks as positioned route nodes): a break that must be taken EARLY
+    (before the first customer) is infeasible under pure take-late
+    greedy but feasible by position enumeration."""
+    import numpy as np
+
+    from cuopt_tpu.routing.data_model import DataModel
+    from cuopt_tpu.routing.internal import build_problem
+
+    # depot at 0, customer at 1; travel 10 each way
+    n = 2
+    mat = np.array([[0.0, 10.0], [10.0, 0.0]])
+    dm = DataModel(n, 1, 1)
+    dm.add_cost_matrix(mat)
+    dm.add_transit_time_matrix(mat)
+    dm.set_order_locations(np.array([1], np.int32))
+    # customer window forces arrival in [30, 40]; service 5
+    dm.set_order_time_windows(np.array([30.0]), np.array([40.0]))
+    dm.set_order_service_times(np.array([5.0]))
+    dm.set_vehicle_time_windows(np.array([0.0]), np.array([200.0]))
+    # break must START within [0, 12] (duration 5): it can only be taken
+    # BEFORE driving to the customer. The take-late greedy postpones it
+    # past the first leg (depart 35+, too late) and fails.
+    dm.add_vehicle_break(0, earliest=0.0, latest=12.0, duration=5.0)
+    prob = build_problem(dm)
+    plan = prob.route_plan(0, [0])
+    assert plan["time_ok"], plan
+    assert len(plan["breaks"]) == 1
+    assert plan["breaks"][0]["start"] <= 12.0 + 1e-9
+    assert prob.route_feasible(0, [0])
