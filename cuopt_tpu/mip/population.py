@@ -172,6 +172,23 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
             )
             if found:
                 improved |= pop.add(x)
+            # RINS-style dive (relaxation-induced neighborhood): fix the
+            # integers where the incumbent AGREES with the rounded LP
+            # relaxation, bound-prop + FJ the disagreement set — the
+            # reference's relaxed-LP-guided recombination
+            # (diversity_manager.cuh + relaxed_lp.cuh roles)
+            if rounds % 3 == 1:
+                is_int = prob.variable_types == "I"
+                xr_round = np.where(is_int, np.round(x_relax), x_relax)
+                child = recombine(
+                    prob, pop.feasible[0][1], xr_round, rng,
+                    fj_budget_s=min(
+                        2.0, max(t_end - time.monotonic(), 0.05)
+                    ),
+                    dtype=dtype,
+                )
+                if child is not None:
+                    improved |= pop.add(child)
         if pop.infeasible and pop.feasible:
             # try pulling an infeasible candidate towards the best
             x, obj, found = line_segment_search(
