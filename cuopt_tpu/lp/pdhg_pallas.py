@@ -114,18 +114,21 @@ def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
     ax_out[...] = ax_new
     y_out[...] = y_new
     # transpose partials: y_tile^T A_tile accumulated into each tile's
-    # x-window; MXU dot (1,128)@(128,128) per window block
+    # x-window; ONE MXU pass (1,128)@(128,W) per tile (streaming all W
+    # output columns through the array beats WB separate 128-wide dots),
+    # then lane-aligned static slices feed the window accumulator
     for i in range(_G):
         s128 = starts_ref[g * _G + i]
         y_i = y_new[i:i + 1, :]                 # (1, 128) static slice
         slab = slab_ref[i]
+        part = jax.lax.dot_general(
+            y_i, slab,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # (1, W)
         for wb in range(WB):
-            part = jax.lax.dot_general(
-                y_i, slab[:, wb * 128:(wb + 1) * 128],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            aty_out[pl.ds(s128 + wb, 1), :] += part
+            aty_out[pl.ds(s128 + wb, 1), :] += \
+                part[:, wb * 128:(wb + 1) * 128]
 
 
 @partial(jax.jit, static_argnames=("T", "W", "n_cols_pad", "interpret"))
