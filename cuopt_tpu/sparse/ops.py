@@ -459,7 +459,9 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
     spill_cols)) or None if every candidate blows the slab budget."""
     T = (n_axis + tile - 1) // tile
     nnz = len(values)
-    elem_budget = max(128 * max(nnz, 1), 1 << 22)
+    # slab budget: up to ~256 stored elements per nonzero (zero-spill
+    # windows are worth substantial padding — see spill pricing below)
+    elem_budget = max(256 * max(nnz, 1), 1 << 22)
     byte_budget = 1 << 29
     rows = np.repeat(np.arange(n_axis, dtype=np.int64), np.diff(offsets))
 
@@ -490,11 +492,15 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
         cands.append(w)
         w *= 4
     # Pick the candidate minimizing modeled HBM cost: slab traffic is one
-    # element-read per slab cell; a spill entry costs a random gather +
-    # scatter-add. Measured on TPU: slabs stream at ~0.04ns/elem (HBM
-    # speed) while segment-sum spill costs ~30ns/entry, so a spill entry
-    # is worth ~1000 slab elements.
-    SPILL_COST = 1024
+    # element-read per slab cell. Spill pricing (measured END-TO-END on
+    # the fused kernel, r03 — W=640+1.2k spill beat both W=768 and the
+    # zero-spill W=1024 on the shuffled 50k bench): in-program spill
+    # segment-sums overlap with the slab stream, so spill carries a
+    # moderate fixed penalty + per-entry term rather than the huge cost
+    # standalone gather microbenchmarks suggest; meanwhile the kernel's
+    # effective stream rate FALLS with W, so narrow windows win.
+    SPILL_FIXED = 12 << 20
+    SPILL_COST = 2048
     chosen, best_cost = None, np.inf
     for W in sorted(set(cands), reverse=True):
         slab_elems = T * tile * W
@@ -505,7 +511,8 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
         n_spill = int((~inside).sum())
         if n_spill > spill_frac * max(nnz, 1):
             continue
-        cost = slab_elems + SPILL_COST * n_spill
+        cost = slab_elems + (SPILL_FIXED + SPILL_COST * n_spill
+                             if n_spill else 0)
         if cost < best_cost:
             best_cost = cost
             chosen = (W, starts, inside)
