@@ -382,11 +382,20 @@ def _run_mip(prob, settings, timer, log):
     if concurrent:
         th = threading.Thread(target=run_bnb, daemon=True)
         th.start()
-        run_diversity_loop(
-            pint, pop, timer, rem * 0.5, bnb=bnb,
-            rng=np.random.default_rng(1), dtype=settings.dtype,
-            x_relax=x_relax,
-        )
+        # evolve in slices for as long as the B&B is still working — the
+        # reference heuristic loop runs the whole solve alongside the
+        # tree search (mip/solver.cu:179)
+        slice_no = 1
+        while th.is_alive() and not timer.expired():
+            run_diversity_loop(
+                pint, pop, timer,
+                min(10.0, max(timer.remaining(), 0.1)), bnb=bnb,
+                rng=np.random.default_rng(slice_no),
+                dtype=settings.dtype, x_relax=x_relax,
+            )
+            slice_no += 1
+            if pop.best is not None and bnb is not None:
+                bnb.set_incumbent(pop.best[1], pop.best[0])
         th.join()
     else:
         run_bnb()
