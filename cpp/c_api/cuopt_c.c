@@ -153,6 +153,12 @@ cuopt_int_t cuOptCreateProblem(
     cuOptOptimizationProblem* problem_ptr)
 {
   if (ensure_init()) return CUOPT_ERROR;
+  /* reference returns CUOPT_INVALID_ARGUMENT for any required NULL
+   * pointer (cuopt_c.cpp:107) — a NULL reaching the embed bridge would
+   * segfault in from_address */
+  if (!problem_ptr || !obj || !csense || !rhs || !vt ||
+      (nc > 0 && (!offs || !idx || !vals)))
+    return CUOPT_INVALID_ARGUMENT;
   cuopt_int_t nnz = offs ? offs[nc] : 0;
   PyGILState_STATE g = PyGILState_Ensure();
   PyObject* args = Py_BuildValue(
@@ -176,6 +182,9 @@ cuopt_int_t cuOptCreateRangedProblem(
     cuOptOptimizationProblem* problem_ptr)
 {
   if (ensure_init()) return CUOPT_ERROR;
+  if (!problem_ptr || !obj || !clb || !cub || !vt ||
+      (nc > 0 && (!offs || !idx || !vals)))
+    return CUOPT_INVALID_ARGUMENT;
   cuopt_int_t nnz = offs ? offs[nc] : 0;
   PyGILState_STATE g = PyGILState_Ensure();
   PyObject* args = Py_BuildValue(

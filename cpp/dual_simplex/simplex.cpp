@@ -28,6 +28,7 @@
 // C ABI at the bottom (ds_solve / ds_solve_adv) for ctypes.
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cmath>
 #include <cstdint>
@@ -45,13 +46,15 @@ namespace tpu_simplex {
 constexpr double kInf = std::numeric_limits<double>::infinity();
 // Runtime-configurable solver options (reference exposes ~30 fields in
 // simplex_solver_settings.hpp:35-67; the ds_set_options C entry at the
-// bottom sets the ones this engine consumes). Set BEFORE solving; solves
-// read them only.
-inline double kBig = 1e9;       // temporary bound for free vars
-inline double kPivTol = 1e-9;   // minimal pivot magnitude
-inline double kFeasTol = 1e-7;  // primal bound tolerance
-inline double kDualTol = 1e-9;  // reduced-cost tolerance
-inline int kRefactorFreq = 100; // reference simplex_solver_settings.hpp
+// bottom sets the ones this engine consumes). Atomics: concurrent node
+// solves (strong-branching thread pool) read these in the pivot loop
+// while another thread may call ds_set_options; implicit conversion
+// keeps expression sites unchanged.
+inline std::atomic<double> kBig{1e9};     // temporary bound for free vars
+inline std::atomic<double> kPivTol{1e-9}; // minimal pivot magnitude
+inline std::atomic<double> kFeasTol{1e-7};// primal bound tolerance
+inline std::atomic<double> kDualTol{1e-9};// reduced-cost tolerance
+inline std::atomic<int> kRefactorFreq{100};// simplex_solver_settings.hpp
 
 enum Status : int {
   kOptimal = 0,
@@ -432,8 +435,8 @@ class DualSimplex {
       rank.reserve(nt_);
       if (x_hint != nullptr) {
         for (int j = 0; j < nt_; ++j) {
-          const double dlo = std::isfinite(lo_[j]) ? z[j] - lo_[j] : kBig;
-          const double dup = std::isfinite(up_[j]) ? up_[j] - z[j] : kBig;
+          const double dlo = std::isfinite(lo_[j]) ? z[j] - lo_[j] : kBig.load();
+          const double dup = std::isfinite(up_[j]) ? up_[j] - z[j] : kBig.load();
           const double interior = std::min(dlo, dup);
           const double fuzz = 1e-3 * (1.0 + std::fabs(z[j]));
           const double dtol =

@@ -24,12 +24,17 @@ typedef void* cuOptOptimizationProblem;
 typedef void* cuOptSolverSettings;
 typedef void* cuOptSolution;
 
-/* status codes (reference constants.h:65-105) */
+/* status codes (values match reference constants.h:108-114 so C
+ * callers can distinguish error kinds across both ABIs) */
 #define CUOPT_SUCCESS 0
-#define CUOPT_ERROR 1
-#define CUOPT_INVALID_ARGUMENT 2
-#define CUOPT_MPS_FILE_ERROR 3
+#define CUOPT_INVALID_ARGUMENT 1
+#define CUOPT_MPS_FILE_ERROR 2
+#define CUOPT_MPS_PARSE_ERROR 3
 #define CUOPT_VALIDATION_ERROR 4
+#define CUOPT_OUT_OF_MEMORY 5
+#define CUOPT_RUNTIME_ERROR 6
+/* generic failure (embed bridge unavailable etc.) */
+#define CUOPT_ERROR CUOPT_RUNTIME_ERROR
 
 #define CUOPT_MINIMIZE 1
 #define CUOPT_MAXIMIZE -1

@@ -38,6 +38,8 @@ def _arr(addr: int, n: int, ctype):
 
 
 def _chars(addr: int, n: int) -> np.ndarray:
+    if addr == 0 or n == 0:  # NULL from a C caller must not segfault
+        return np.zeros(0, dtype="U1")
     raw = (ctypes.c_char * n).from_address(addr).raw
     return np.frombuffer(raw, dtype="S1").astype("U1")
 

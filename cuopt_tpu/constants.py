@@ -75,10 +75,12 @@ CUOPT_METHOD_CONCURRENT = 0
 CUOPT_METHOD_PDLP = 1
 CUOPT_METHOD_DUAL_SIMPLEX = 2
 
-# --- Status codes ---
+# --- Status codes (values match reference constants.h:108-114 and
+# cpp/include/cuopt_c.h so error kinds survive the C ABI round trip) ---
 CUOPT_SUCCESS = 0
 CUOPT_INVALID_ARGUMENT = 1
 CUOPT_MPS_FILE_ERROR = 2
-CUOPT_VALIDATION_ERROR = 3
-CUOPT_OUT_OF_MEMORY = 4
-CUOPT_RUNTIME_ERROR = 5
+CUOPT_MPS_PARSE_ERROR = 3
+CUOPT_VALIDATION_ERROR = 4
+CUOPT_OUT_OF_MEMORY = 5
+CUOPT_RUNTIME_ERROR = 6

@@ -26,6 +26,22 @@ def _load():
     if _lib is not None:
         return _lib
     if not _LIB_PATH.exists():
+        # build on demand (binaries are not committed; same pattern as
+        # dual_simplex/bindings.py)
+        src = _LIB_PATH.parent.parent.parent / "cpp" / "mps_parser" / \
+            "mps_parser.cpp"
+        if not src.exists():
+            return None
+        import subprocess
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o",
+                 str(_LIB_PATH), str(src)],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.mps_parse.restype = ctypes.c_void_p

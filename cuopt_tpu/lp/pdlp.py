@@ -242,8 +242,13 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
         if fused:
             from cuopt_tpu.lp.pdhg_pallas import fused_row_pass
 
-            lc0m = jnp.where(dev.lc_fin, dev.lc0, -1e30)
-            uc0m = jnp.where(dev.uc_fin, dev.uc0, 1e30)
+            # infinite-row sentinel scaled so sigma * sentinel cannot
+            # overflow f32 (sigma beyond ~3e8 would turn a 1e30 sentinel
+            # into inf and a later inf-inf into NaN); big/8/sigma keeps
+            # the product at ~finfo.max/8 — still decisively one-sided
+            sent = big / 8.0 / jnp.maximum(sigma, 1.0)
+            lc0m = jnp.where(dev.lc_fin, dev.lc0, -sent)
+            uc0m = jnp.where(dev.uc_fin, dev.uc0, sent)
             ax_new, y_new, aty_new, inter_raw, dy_dot = fused_row_pass(
                 dev.op, x_new, s.ax, s.y, lc0m, uc0m, sigma,
             )

@@ -136,6 +136,29 @@ class BranchAndBound:
         self._nnz_rows = np.repeat(
             np.arange(prob.n_constraints), np.diff(prob.offsets)
         )
+        # resumable search state (see _start/step/solve)
+        self._started = False
+        self._root_infeasible = False
+        self._complete = False
+        self._heap: list[_Node] = []
+        self._pending: list[tuple[_Node, dict]] = []
+        self._seq = 0
+
+    def _node_bound(self, raw, node):
+        """Node lower bound: the exact dual objective when the
+        relaxation was solved by the native dual simplex to optimality
+        (reference node bounds are exact dual simplex,
+        dual_simplex/branch_and_bound.hpp:45); otherwise the rigorous
+        Lagrangian safe bound from the approximately-feasible PDLP dual
+        — never raw dual_objective from a PDLP iterate."""
+        if raw.get("solved_by") == "dual_simplex" and \
+                raw["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+            b = raw.get("dual_objective", math.nan)
+            if b is not None and not math.isnan(b):
+                return float(b)
+        return self._safe_dual_bound(
+            raw.get("dual_solution"), node.lv, node.uv
+        )
 
     def _safe_dual_bound(self, y, lv, uv):
         """Rigorous lower bound from ANY dual vector y (Lagrangian bound).
@@ -201,7 +224,8 @@ class BranchAndBound:
                 return base
             if r["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
                 return math.inf
-            return self._safe_dual_bound(r.get("dual_solution"), lv2, uv2)
+            fake = _Node(-math.inf, 0, lv2, uv2)
+            return self._node_bound(r, fake)
 
         n_threads = max(1, min(8, (_os.cpu_count() or 2) - 1))
         jobs = [(int(j), up) for j in cand for up in (False, True)]
@@ -381,25 +405,47 @@ class BranchAndBound:
             abs(self.incumbent_obj), 1e-10
         )
 
-    def solve(self, timer, halt=None):
-        """Best-first search. Returns dict with incumbent/bound/status."""
-        prob = self.prob
-        seq = 0
-        root_lv = prob.variable_lower_bounds.copy()
-        root_uv = prob.variable_upper_bounds.copy()
-        pres = self._propagate(root_lv, root_uv)
+    def _start(self, timer):
+        """Lazy search-state init so the search is resumable: `step`
+        drives one bounded slice, `solve` loops it to completion. State
+        (heap/pending/seq) lives on the instance across slices so the
+        MIP orchestrator can interleave tree search with heuristic
+        slices in ONE thread (no GIL starvation; reference runs them on
+        separate CUDA streams, mip/solver.cu:125-190)."""
+        if self._started:
+            return
+        self._started = True
+        pres = self._propagate(
+            self.prob.variable_lower_bounds.copy(),
+            self.prob.variable_upper_bounds.copy(),
+        )
         if pres.infeasible:
-            return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
-        heap = [_Node(-math.inf, seq, pres.lv, pres.uv)]
-        complete = False
-        pending: list[tuple[_Node, dict]] = []
-        while heap or pending:
+            self._root_infeasible = True
+            self._heap = []
+            return
+        self._heap = [_Node(-math.inf, 0, pres.lv, pres.uv)]
+
+    def step(self, timer, halt=None, deadline=None):
+        """Run the best-first loop until `deadline` (time.monotonic
+        seconds), the timer expires, or the search finishes. Returns
+        True when the search is over (call `result()` for the outcome).
+        """
+        import time as _time
+
+        self._start(timer)
+        if self._root_infeasible:
+            return True
+        prob = self.prob
+        heap = self._heap
+        while heap or self._pending:
             if timer.expired() or (halt is not None and halt.is_set()):
-                break
+                return True
+            if deadline is not None and _time.monotonic() >= deadline:
+                return False  # suspended; resume with another step()
             if self.nodes_explored >= self.max_nodes:
-                break
-            if pending:
-                node, raw = pending.pop(0)
+                return True
+            if self._pending:
+                node, raw = self._pending.pop(0)
                 if self.incumbent is not None and node.bound >= (
                     self.incumbent_obj - 1e-12
                 ):
@@ -414,8 +460,8 @@ class BranchAndBound:
                 ):
                     # every open node's (rigorous) bound >= incumbent
                     self.best_bound = self.incumbent_obj
-                    complete = True
-                    break
+                    self._complete = True
+                    return True
                 if not self.use_simplex and len(heap) >= 3 and \
                         node.effort == 1:
                     # batched frontier relaxations (one vmapped program)
@@ -425,8 +471,8 @@ class BranchAndBound:
                         batch.append(heapq.heappop(heap))
                     raws = self._solve_relaxations_batch(batch, timer)
                     self.nodes_explored += len(batch)
-                    pending = list(zip(batch, raws))
-                    node, raw = pending.pop(0)
+                    self._pending = list(zip(batch, raws))
+                    node, raw = self._pending.pop(0)
                 else:
                     raw = self._solve_relaxation(
                         node.lv, node.uv, node.x_warm, node.y_warm,
@@ -435,12 +481,7 @@ class BranchAndBound:
                     self.nodes_explored += 1
             if raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
                 continue
-            # Rigorous node bound from the dual iterate, valid even for
-            # unresolved (limit-hit) solves; never trust raw dual_objective
-            # from an approximately-feasible PDLP dual.
-            bound = max(node.bound, self._safe_dual_bound(
-                raw.get("dual_solution"), node.lv, node.uv
-            ))
+            bound = max(node.bound, self._node_bound(raw, node))
             if raw["status"] not in (
                 C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
             ):
@@ -455,18 +496,18 @@ class BranchAndBound:
                 if timer.expired() or (
                     halt is not None and halt.is_set()
                 ):
-                    seq += 1
+                    self._seq += 1
                     heapq.heappush(heap, _Node(
-                        bound, seq, node.lv, node.uv, node.x_warm,
+                        bound, self._seq, node.lv, node.uv, node.x_warm,
                         node.y_warm, node.depth, effort=node.effort,
                     ))
-                    break
+                    return True
                 if node.effort >= 64:
                     self._lost_nodes += 1
                     continue
-                seq += 1
+                self._seq += 1
                 heapq.heappush(heap, _Node(
-                    bound, seq, node.lv, node.uv, node.x_warm,
+                    bound, self._seq, node.lv, node.uv, node.x_warm,
                     node.y_warm, node.depth, effort=node.effort * 4,
                 ))
                 continue
@@ -508,9 +549,9 @@ class BranchAndBound:
                 pres = self._propagate(lv2, uv2)
                 if pres.infeasible:
                     continue
-                seq += 1
+                self._seq += 1
                 heapq.heappush(heap, _Node(
-                    bound, seq, pres.lv, pres.uv,
+                    bound, self._seq, pres.lv, pres.uv,
                     x_warm=x, y_warm=raw["dual_solution"],
                     vstat=raw.get("vstat"),
                     depth=node.depth + 1,
@@ -518,8 +559,23 @@ class BranchAndBound:
                     branch_frac=float(frac[j]),
                 ))
             if self._gap_closed():
-                break
-        if not heap and self._lost_nodes == 0:
+                return True
+        return True  # heap + pending exhausted
+
+    def solve(self, timer, halt=None):
+        """Best-first search to completion. Returns dict with
+        incumbent/bound/status."""
+        while not self.step(timer, halt=halt):
+            pass
+        return self.result()
+
+    def result(self):
+        """Outcome of the search so far (valid after any step())."""
+        if self._root_infeasible:
+            return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
+        complete = self._complete
+        if self._started and not self._heap and not self._pending \
+                and self._lost_nodes == 0:
             # heap exhausted with no lost subtrees: search complete
             complete = True
             if self.incumbent is not None:

@@ -230,32 +230,63 @@ def _run_mip(prob, settings, timer, log):
         )
 
     # ---- root LP relaxation ----
-    lp_settings = PDLPSolverSettings()
-    lp_settings.method = C.CUOPT_METHOD_PDLP
-    lp_settings.set_optimality_tolerance(1e-6)
-    lp_settings.detect_infeasibility = True
-    lp_settings.iteration_limit = 100_000
-    if math.isfinite(timer.remaining()):
-        lp_settings.time_limit = max(0.25 * timer.remaining(), 1.0)
-    lp_settings.dtype = settings.dtype
-    root = PdlpSolver(pint, lp_settings).run()
+    # When the instance fits the native-simplex gate, the root is solved
+    # EXACTLY by the host dual simplex (reference root bounds are exact
+    # dual simplex, dual_simplex/branch_and_bound.hpp:45). This both
+    # yields a finite root bound on free-variable instances (where the
+    # Lagrangian safe bound of a PDLP dual degenerates to -inf) and
+    # avoids per-dispatch device latency on small MIPs.
+    root = None
+    root_bound = -math.inf
+    fits_simplex = (
+        pint.n_constraints <= 20_000 and pint.n_variables <= 40_000
+        and pint.nnz <= 2_000_000
+    )
+    if fits_simplex:
+        try:
+            from cuopt_tpu.dual_simplex import is_available
+            from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+
+            if is_available():
+                s0 = PDLPSolverSettings()
+                if math.isfinite(timer.remaining()):
+                    s0.time_limit = max(0.25 * timer.remaining(), 1.0)
+                root = solve_lp_simplex(pint, s0, timer)
+                if root["status"] == \
+                        C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+                    root_bound = float(root["dual_objective"])
+                elif root["status"] != \
+                        C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
+                    root = None  # unbounded/limit: fall back to PDLP
+        except Exception as e:
+            log.debug(f"simplex root failed, falling back to PDLP: {e}")
+            root = None
+    if root is None:
+        lp_settings = PDLPSolverSettings()
+        lp_settings.method = C.CUOPT_METHOD_PDLP
+        lp_settings.set_optimality_tolerance(1e-6)
+        lp_settings.detect_infeasibility = True
+        lp_settings.iteration_limit = 100_000
+        if math.isfinite(timer.remaining()):
+            lp_settings.time_limit = max(0.25 * timer.remaining(), 1.0)
+        lp_settings.dtype = settings.dtype
+        root = PdlpSolver(pint, lp_settings).run()
+        # Rigorous root bound: a PDLP dual is only approximately
+        # feasible, so dual_objective cannot gate the MIP gap (same
+        # treatment as node bounds)
+        from cuopt_tpu.mip.branch_and_bound import safe_dual_bound
+
+        if root["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+            root_bound = safe_dual_bound(
+                pint, root.get("dual_solution"),
+                pint.variable_lower_bounds, pint.variable_upper_bounds,
+            )
     if root["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
         return _make_raw(
             prob, sign, None, math.nan, -math.inf,
             C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
         )
     x_relax = root["primal_solution"]
-    # Rigorous root bound: a PDLP dual is only approximately feasible, so
-    # dual_objective cannot gate the MIP gap (same treatment as node
-    # bounds, branch_and_bound._safe_dual_bound; reference roots come
-    # from exact dual simplex)
-    from cuopt_tpu.mip.branch_and_bound import safe_dual_bound
-
-    root_bound = safe_dual_bound(
-        pint, root.get("dual_solution"),
-        pint.variable_lower_bounds, pint.variable_upper_bounds,
-    ) if root["status"] == C.CUOPT_TERIMINATION_STATUS_OPTIMAL \
-        else -math.inf
 
     # ---- heuristics: roundings + feasibility jump + pump ----
     from cuopt_tpu.mip.population import Population, run_diversity_loop
@@ -354,10 +385,14 @@ def _run_mip(prob, settings, timer, log):
             C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT, timer=timer,
         )
 
-    # ---- branch & bound concurrent with the evolutionary loop ----
-    # (reference mip/solver.cu:125-190: B&B via std::async + GPU
-    # heuristics on the main thread, incumbents exchanged both ways)
-    import threading
+    # ---- branch & bound interleaved with the evolutionary loop ----
+    # (reference mip/solver.cu:125-190 runs B&B via std::async alongside
+    # GPU heuristics — two CUDA streams. On a host-driven tree the same
+    # two loops fight over the GIL and the device queue, so here they
+    # COOPERATIVELY time-slice in one thread: a B&B slice is guaranteed
+    # its share before each heuristic slice, which provably advances the
+    # tree (round-3 threaded version starved to nodes=0 under load).
+    import time as _time
 
     bnb = BranchAndBound(pint, settings)
     bnb.solution_callbacks.append(lambda x, o: pop.add(x, from_external=True))
@@ -365,45 +400,50 @@ def _run_mip(prob, settings, timer, log):
         bnb.set_incumbent(incumbent, incumbent_obj)
     if math.isfinite(root_bound):
         bnb.best_bound = root_bound
-    res_box = {}
-
-    def run_bnb():
-        try:
-            res_box["res"] = bnb.solve(timer)
-        except Exception as e:  # pragma: no cover
-            log.warning(f"branch and bound failed: {e}")
-            res_box["res"] = None
-
+    res = None
     rem = timer.remaining()
     concurrent = (
         math.isfinite(rem) and rem > 3.0 and len(pop.feasible) >= 1
         and m > 20
     )
-    if concurrent:
-        th = threading.Thread(target=run_bnb, daemon=True)
-        th.start()
-        # evolve in slices for as long as the B&B is still working — the
-        # reference heuristic loop runs the whole solve alongside the
-        # tree search (mip/solver.cu:179)
-        slice_no = 1
-        while th.is_alive() and not timer.expired():
-            run_diversity_loop(
-                pint, pop, timer,
-                min(10.0, max(timer.remaining(), 0.1)), bnb=bnb,
-                rng=np.random.default_rng(slice_no),
-                dtype=settings.dtype, x_relax=x_relax,
-            )
-            slice_no += 1
-            if pop.best is not None and bnb is not None:
-                bnb.set_incumbent(pop.best[1], pop.best[0])
-        th.join()
-    else:
-        run_bnb()
-    res = res_box.get("res")
+    try:
+        if concurrent:
+            slice_no = 1
+            heur_share = 0.35  # fraction of each round spent evolving
+            while not timer.expired():
+                bnb_slice = min(4.0, max(0.5, timer.remaining() * 0.5))
+                done = bnb.step(
+                    timer, deadline=_time.monotonic() + bnb_slice
+                )
+                if pop.best is not None:
+                    bnb.set_incumbent(pop.best[1], pop.best[0])
+                if done:
+                    break
+                heur_slice = min(
+                    bnb_slice * heur_share / max(1 - heur_share, 1e-9),
+                    max(timer.remaining(), 0.0),
+                )
+                if heur_slice > 0.05:
+                    run_diversity_loop(
+                        pint, pop, timer, heur_slice, bnb=bnb,
+                        rng=np.random.default_rng(slice_no),
+                        dtype=settings.dtype, x_relax=x_relax,
+                    )
+                slice_no += 1
+                if pop.best is not None:
+                    bnb.set_incumbent(pop.best[1], pop.best[0])
+            res = bnb.result()
+        else:
+            res = bnb.solve(timer)
+    except Exception as e:  # pragma: no cover
+        log.warning(f"branch and bound failed: {e}")
+        res = None
     if res is None:
         res = dict(status=C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT,
-                   incumbent=None, incumbent_obj=math.inf,
-                   best_bound=root_bound, nodes=0, simplex_iters=0)
+                   incumbent=bnb.incumbent, incumbent_obj=bnb.incumbent_obj,
+                   best_bound=max(root_bound, bnb.best_bound),
+                   nodes=bnb.nodes_explored,
+                   simplex_iters=bnb.simplex_iters)
     status = res["status"]
     x = res["incumbent"]
     obj = res["incumbent_obj"]
