@@ -235,8 +235,14 @@ def run_feasibility_jump(
 
     p = make_fj_problem(prob, dtype)
     # mode spread over the climber batch: given starts at graded
-    # objective weights, plus an "on-zero" pure-feasibility climber
+    # objective weights, plus an "on-zero" pure-feasibility climber.
+    # The batch is padded to a FIXED size by cycling the starts with
+    # fresh seeds so every call site (one-shot heuristic, recombiner,
+    # pump) shares ONE compiled program per problem shape — a cold XLA
+    # compile costs minutes on the remote TPU compiler.
+    _FJ_BATCH = 9
     weights = [obj_weight, 10 * obj_weight, 0.1 * obj_weight, 0.0]
+    x_starts = list(x_starts)[: _FJ_BATCH - 1]
     states = [
         init_state(p, x0, seed + i, weights[i % len(weights)])
         for i, x0 in enumerate(x_starts)
@@ -245,6 +251,13 @@ def run_feasibility_jump(
         p, jnp.zeros((prob.n_variables,), dtype),
         seed + len(states), 0.0,
     ))
+    k = 0
+    while len(states) < _FJ_BATCH and x_starts:
+        states.append(init_state(
+            p, x_starts[k % len(x_starts)], seed + 101 + k,
+            weights[(k + 1) % len(weights)],
+        ))
+        k += 1
     batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
     t_end = time.monotonic() + time_budget_s
     while True:

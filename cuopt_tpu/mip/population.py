@@ -31,6 +31,8 @@ class Population:
     """Solution pool (internal minimize orientation)."""
 
     def __init__(self, prob, max_size=16, int_tol=1e-5):
+        import threading
+
         self.prob = prob
         self.max_size = max_size
         self.int_tol = int_tol
@@ -38,10 +40,18 @@ class Population:
         self.infeasible: list[tuple[float, np.ndarray]] = []  # (viol, x)
         self.callbacks = []
         self.log = get_logger()
+        # heuristic workers and the B&B callback insert concurrently
+        self._lock = threading.RLock()
 
     @property
     def best(self):
-        return self.feasible[0] if self.feasible else None
+        with self._lock:
+            return self.feasible[0] if self.feasible else None
+
+    def snapshot(self, k=None):
+        """Consistent copies of (feasible, infeasible) prefixes."""
+        with self._lock:
+            return list(self.feasible[:k]), list(self.infeasible[:k])
 
     def add(self, x, from_external=False) -> bool:
         """Insert a candidate; returns True if it improved the best."""
@@ -49,20 +59,23 @@ class Population:
         if is_feasible(self.prob, x, tol=1e-6):
             obj = float(self.prob.objective_coefficients @ x
                         + self.prob.objective_offset)
-            improved = not self.feasible or obj < self.feasible[0][0] - 1e-12
-            if any(abs(obj - o) < 1e-12 and np.allclose(x, xx)
-                   for o, xx in self.feasible):
-                return False
-            self.feasible.append((obj, x))
-            self.feasible.sort(key=lambda t: t[0])
-            del self.feasible[self.max_size:]
+            with self._lock:
+                improved = not self.feasible or \
+                    obj < self.feasible[0][0] - 1e-12
+                if any(abs(obj - o) < 1e-12 and np.allclose(x, xx)
+                       for o, xx in self.feasible):
+                    return False
+                self.feasible.append((obj, x))
+                self.feasible.sort(key=lambda t: t[0])
+                del self.feasible[self.max_size:]
             if improved and not from_external:
                 self._run_get_callbacks(x, obj)
             return improved
         v = violation(self.prob, x)
-        self.infeasible.append((v, x))
-        self.infeasible.sort(key=lambda t: t[0])
-        del self.infeasible[self.max_size:]
+        with self._lock:
+            self.infeasible.append((v, x))
+            self.infeasible.sort(key=lambda t: t[0])
+            del self.infeasible[self.max_size:]
         return False
 
     # ------------------------------------------------------------ callbacks
@@ -156,7 +169,7 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
         rounds += 1
         pop.poll_set_callbacks()
         improved = False
-        pool = pop.feasible[:6]
+        pool, infeas_pool = pop.snapshot(6)
         if len(pool) >= 2:
             i, j = rng.choice(len(pool), size=2, replace=False)
             child = recombine(
@@ -166,9 +179,9 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
             )
             if child is not None:
                 improved |= pop.add(child)
-        if x_relax is not None and pop.feasible:
+        if x_relax is not None and pool:
             x, obj, found = line_segment_search(
-                prob, x_relax, pop.feasible[0][1]
+                prob, x_relax, pool[0][1]
             )
             if found:
                 improved |= pop.add(x)
@@ -181,7 +194,7 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                 is_int = prob.variable_types == "I"
                 xr_round = np.where(is_int, np.round(x_relax), x_relax)
                 child = recombine(
-                    prob, pop.feasible[0][1], xr_round, rng,
+                    prob, pool[0][1], xr_round, rng,
                     fj_budget_s=min(
                         2.0, max(t_end - time.monotonic(), 0.05)
                     ),
@@ -189,10 +202,10 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                 )
                 if child is not None:
                     improved |= pop.add(child)
-        if pop.infeasible and pop.feasible:
+        if infeas_pool and pool:
             # try pulling an infeasible candidate towards the best
             x, obj, found = line_segment_search(
-                prob, pop.infeasible[0][1], pop.feasible[0][1],
+                prob, infeas_pool[0][1], pool[0][1],
             )
             if found:
                 improved |= pop.add(x)
@@ -206,6 +219,6 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
             gap = pop.best[0] - bnb.best_bound
             if gap <= 1e-6 * max(1.0, abs(pop.best[0])):
                 break
-        if not improved and rounds > 4 and len(pop.feasible) < 2:
+        if not improved and rounds > 4 and len(pool) < 2:
             break  # nothing to evolve
     return rounds

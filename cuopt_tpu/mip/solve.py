@@ -328,45 +328,93 @@ def _run_mip(prob, settings, timer, log):
         size_cap,
     )
     if incumbent is not None and m < 50:
-        fj_budget = 0.0  # roundings already produced a solution
+        # roundings already produced a solution; keep only a token FJ
+        # run when the cooperative loop will run (m > 20) so the
+        # diversity loop's recombiner finds the FJ program already
+        # compiled (a cold XLA compile in the main thread would starve
+        # the B&B slices it is interleaved with)
+        fj_budget = 0.25 if m > 20 else 0.0
     dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
-    if fj_budget > 0:
-        try:
-            xfj, objfj, found = run_feasibility_jump(
-                pint, starts[:8], fj_budget, dtype=dtype
-            )
-            if found:
-                objfj_total = objfj + float(pint.objective_offset)
-                xfj = np.where(is_int, np.round(xfj), xfj)
-                pop.add(xfj)
-                if is_feasible(pint, xfj) and objfj_total < incumbent_obj:
-                    incumbent, incumbent_obj = xfj, objfj_total
-        except Exception as e:  # heuristics must never kill the solve
-            log.warning(f"feasibility jump failed: {e}")
 
-    # feasibility pump when nothing feasible yet (reference
-    # local_search/feasibility_pump/)
-    if incumbent is None and not timer.expired():
-        from cuopt_tpu.mip.feasibility_pump import feasibility_pump
+    # One-shot heuristics (FJ + feasibility pump) run in a BACKGROUND
+    # worker thread: their cost is dominated by XLA compilation (which
+    # releases the GIL — minutes cold on the remote TPU compiler), so
+    # the exact tree search must not wait on them. Results are injected
+    # through the (thread-safe) population and bnb.set_incumbent —
+    # the reference's two-stream architecture (mip/solver.cu:125-190)
+    # realized as compile-in-background + host B&B in the foreground.
+    import threading
 
-        rem = timer.remaining()
-        fp_budget = 5.0 if not math.isfinite(rem) else min(0.3 * rem, 15.0)
+    heur_stop = threading.Event()
+    heur_done = threading.Event()
+    inject_box = {"bnb": None}
+
+    def _push(x, obj):
+        if heur_stop.is_set():
+            return
+        pop.add(x)
+        b = inject_box.get("bnb")
+        if b is not None:
+            b.set_incumbent(x, obj)
+
+    def run_oneshot_heuristics():
         try:
-            xfp, objfp, found = feasibility_pump(
-                pint, x_relax, fp_budget,
-                int_tol=settings.tolerances.integrality_tolerance,
-                dtype=settings.dtype,
-            )
-            if found:
-                pop.add(xfp)
-                if objfp < incumbent_obj:
-                    incumbent, incumbent_obj = xfp, objfp
-        except Exception as e:
-            log.warning(f"feasibility pump failed: {e}")
+            if fj_budget > 0 and not heur_stop.is_set() \
+                    and not timer.expired():
+                try:
+                    xfj, objfj, found = run_feasibility_jump(
+                        pint, starts[:8], fj_budget, dtype=dtype
+                    )
+                    if found:
+                        objfj_total = objfj + float(pint.objective_offset)
+                        xfj = np.where(is_int, np.round(xfj), xfj)
+                        if is_feasible(pint, xfj):
+                            _push(xfj, objfj_total)
+                except Exception as e:  # must never kill the solve
+                    log.warning(f"feasibility jump failed: {e}")
+            # feasibility pump when nothing feasible yet (reference
+            # local_search/feasibility_pump/)
+            if pop.best is None and not timer.expired() \
+                    and not heur_stop.is_set():
+                from cuopt_tpu.mip.feasibility_pump import (
+                    feasibility_pump,
+                )
+
+                r = timer.remaining()
+                fp_budget = 5.0 if not math.isfinite(r) \
+                    else min(0.3 * r, 15.0)
+                try:
+                    xfp, objfp, found = feasibility_pump(
+                        pint, x_relax, fp_budget,
+                        int_tol=settings.tolerances.integrality_tolerance,
+                        dtype=settings.dtype,
+                    )
+                    if found:
+                        _push(xfp, objfp)
+                except Exception as e:
+                    log.warning(f"feasibility pump failed: {e}")
+        finally:
+            heur_done.set()
+
+    want_heuristics = fj_budget > 0 or incumbent is None
+    if want_heuristics:
+        heur_th = threading.Thread(
+            target=run_oneshot_heuristics, daemon=True,
+            name="cuopt-mip-heuristics",
+        )
+        heur_th.start()
+    else:
+        heur_done.set()
 
     if settings.heuristics_only:
         # evolutionary loop only (reference heuristics_only,
         # mip/solver_settings.hpp)
+        rem = timer.remaining()
+        if math.isfinite(rem):
+            heur_done.wait(timeout=max(rem, 0.0))
+        else:
+            heur_done.wait(timeout=60.0)
+        heur_stop.set()
         rem = timer.remaining()
         if math.isfinite(rem) and rem > 0.2:
             run_diversity_loop(
@@ -396,16 +444,17 @@ def _run_mip(prob, settings, timer, log):
 
     bnb = BranchAndBound(pint, settings)
     bnb.solution_callbacks.append(lambda x, o: pop.add(x, from_external=True))
+    best0 = pop.best
+    if best0 is not None and best0[0] < incumbent_obj:
+        incumbent_obj, incumbent = best0
     if incumbent is not None:
         bnb.set_incumbent(incumbent, incumbent_obj)
     if math.isfinite(root_bound):
         bnb.best_bound = root_bound
+    inject_box["bnb"] = bnb  # late heuristic results flow straight in
     res = None
     rem = timer.remaining()
-    concurrent = (
-        math.isfinite(rem) and rem > 3.0 and len(pop.feasible) >= 1
-        and m > 20
-    )
+    concurrent = math.isfinite(rem) and rem > 3.0 and m > 20
     try:
         if concurrent:
             slice_no = 1
@@ -423,7 +472,11 @@ def _run_mip(prob, settings, timer, log):
                     bnb_slice * heur_share / max(1 - heur_share, 1e-9),
                     max(timer.remaining(), 0.0),
                 )
-                if heur_slice > 0.05:
+                # evolve only once the one-shot heuristics are done
+                # (their XLA compiles must not contend with ours) and a
+                # seed population exists
+                if heur_slice > 0.05 and heur_done.is_set() \
+                        and pop.best is not None:
                     run_diversity_loop(
                         pint, pop, timer, heur_slice, bnb=bnb,
                         rng=np.random.default_rng(slice_no),
@@ -438,6 +491,8 @@ def _run_mip(prob, settings, timer, log):
     except Exception as e:  # pragma: no cover
         log.warning(f"branch and bound failed: {e}")
         res = None
+    finally:
+        heur_stop.set()  # discard late heuristic pushes
     if res is None:
         res = dict(status=C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT,
                    incumbent=bnb.incumbent, incumbent_obj=bnb.incumbent_obj,

@@ -436,11 +436,18 @@ def test_real_mip_instances():
         C.CUOPT_TERIMINATION_STATUS_OPTIMAL
 
     # neos5 (free-bound variant): known optimum 15; within a short
-    # budget we require a feasible incumbent and a VALID bound bracket
+    # budget we require a feasible incumbent, a VALID finite bound
+    # bracket, genuine tree progress (nodes > 0 — the round-3 threaded
+    # design starved to nodes=0), and the time budget respected (the
+    # background-compiled heuristics must not stall the solve)
+    import time as _time
+
     p = parse_mps(os.path.join(root, "neos5-free-bound.mps"))
     s = MIPSolverSettings()
     s.time_limit = 45
+    t0 = _time.monotonic()
     sol = solve_mip(p, s)
+    elapsed = _time.monotonic() - t0
     assert sol.get_termination_status() in (
         C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
         C.CUOPT_TERIMINATION_STATUS_FEASIBLE_FOUND,
@@ -448,9 +455,13 @@ def test_real_mip_instances():
     obj = sol.get_primal_objective()
     bound = sol.get_solution_bound()
     assert obj >= 15.0 - 1e-6  # never better than the true optimum
+    assert np.isfinite(bound)
     assert bound <= 15.0 + 1e-6  # bound must bracket the true optimum
+    assert sol._raw.get("nodes", 0) > 0
+    assert elapsed < 45 + 20  # limit + bounded slice overshoot
     x = sol.get_primal_solution()
     assert np.allclose(
         x[p.variable_types == "I"],
         np.round(x[p.variable_types == "I"]), atol=1e-5,
     )
+
