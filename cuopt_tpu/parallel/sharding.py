@@ -67,6 +67,7 @@ def _shard_operator(op, mesh: Mesh):
         )
     if isinstance(op, BlockBandOp):
         return op.replace(
+            mesh=mesh,  # batched window reads: O(1) collectives/step
             row_slabs=jax.device_put(op.row_slabs, row3),
             col_slabs=jax.device_put(op.col_slabs, row3),
             spill_vals=jax.device_put(op.spill_vals, rep),
@@ -115,9 +116,16 @@ def _shard_operator(op, mesh: Mesh):
 def shard_problem_and_state(
     dev: DeviceProblem, state: SolverState, mesh: Mesh
 ):
-    """Commit problem + solver state with the row-partition layout."""
+    """Commit problem + solver state with the row-partition layout.
+
+    y-space vectors are row-sharded; x-space vectors are ALSO sharded
+    when their length divides the mesh (the BlockBandOp halo fast path
+    then runs fully distributed with fixed-size neighbor exchanges),
+    falling back to replication otherwise."""
     row = NamedSharding(mesh, P(ROW_AXIS))
     rep = NamedSharding(mesh, P())
+    D = mesh.devices.size
+    col = row if int(dev.c.shape[0]) % D == 0 else rep
 
     def put_rows(x):
         return jax.device_put(x, row)
@@ -125,32 +133,35 @@ def shard_problem_and_state(
     def put_rep(x):
         return jax.device_put(x, rep)
 
+    def put_cols(x):
+        return jax.device_put(x, col)
+
     dev_sharded = dev.replace(
         op=_shard_operator(dev.op, mesh),
-        c=put_rep(dev.c), lv=put_rep(dev.lv), uv=put_rep(dev.uv),
+        c=put_cols(dev.c), lv=put_cols(dev.lv), uv=put_cols(dev.uv),
         lc=put_rows(dev.lc), uc=put_rows(dev.uc),
-        lv_fin=put_rep(dev.lv_fin), uv_fin=put_rep(dev.uv_fin),
+        lv_fin=put_cols(dev.lv_fin), uv_fin=put_cols(dev.uv_fin),
         lc_fin=put_rows(dev.lc_fin), uc_fin=put_rows(dev.uc_fin),
-        lv0=put_rep(dev.lv0), uv0=put_rep(dev.uv0),
+        lv0=put_cols(dev.lv0), uv0=put_cols(dev.uv0),
         lc0=put_rows(dev.lc0), uc0=put_rows(dev.uc0),
-        c_orig=put_rep(dev.c_orig),
-        lv_orig=put_rep(dev.lv_orig), uv_orig=put_rep(dev.uv_orig),
+        c_orig=put_cols(dev.c_orig),
+        lv_orig=put_cols(dev.lv_orig), uv_orig=put_cols(dev.uv_orig),
         lc_orig=put_rows(dev.lc_orig), uc_orig=put_rows(dev.uc_orig),
-        lv0_orig=put_rep(dev.lv0_orig), uv0_orig=put_rep(dev.uv0_orig),
+        lv0_orig=put_cols(dev.lv0_orig), uv0_orig=put_cols(dev.uv0_orig),
         lc0_orig=put_rows(dev.lc0_orig), uc0_orig=put_rows(dev.uc0_orig),
         row_scale=put_rows(dev.row_scale),
-        col_scale=put_rep(dev.col_scale),
+        col_scale=put_cols(dev.col_scale),
         offset=put_rep(dev.offset),
     )
     state_sharded = state.replace(
-        x=put_rep(state.x), y=put_rows(state.y),
-        ax=put_rows(state.ax), aty=put_rep(state.aty),
+        x=put_cols(state.x), y=put_rows(state.y),
+        ax=put_rows(state.ax), aty=put_cols(state.aty),
         step_size=put_rep(state.step_size),
         primal_weight=put_rep(state.primal_weight),
         sum_weights=put_rep(state.sum_weights),
-        avg_x=put_rep(state.avg_x), avg_y=put_rows(state.avg_y),
-        avg_ax=put_rows(state.avg_ax), avg_aty=put_rep(state.avg_aty),
-        x_last_restart=put_rep(state.x_last_restart),
+        avg_x=put_cols(state.avg_x), avg_y=put_rows(state.avg_y),
+        avg_ax=put_rows(state.avg_ax), avg_aty=put_cols(state.avg_aty),
+        x_last_restart=put_cols(state.x_last_restart),
         y_last_restart=put_rows(state.y_last_restart),
         last_restart_kkt=put_rep(state.last_restart_kkt),
         last_candidate_kkt=put_rep(state.last_candidate_kkt),

@@ -236,6 +236,16 @@ class BlockBandOp(LinearOperator):
     t_spill_vals: jax.Array  # (S_c,)
     t_spill_rows: jax.Array  # (S_c,) int32 = A columns, sorted
     t_spill_cols: jax.Array  # (S_c,) int32 = A rows
+    # Sharded-mesh mode (parallel/sharding.py sets this to the Mesh):
+    # extract the per-tile operand windows with ONE static-index gather
+    # from an explicitly REPLICATED copy of the operand, instead of T
+    # separate slices. Under GSPMD a per-tile slice of a row-sharded
+    # vector becomes a collective-permute PER TILE (~176/step measured
+    # in the r03 HLO inventory — latency-dominated); the constrained
+    # gather form lowers to one all-gather + a local gather, while the
+    # sharding constraints stop GSPMD from "solving" the gather by
+    # replicating the whole y-space (which would kill scaling).
+    mesh: object = struct.field(pytree_node=False, default=None)
 
     @property
     def shape(self):
@@ -244,18 +254,107 @@ class BlockBandOp(LinearOperator):
     def _windows(self, v, starts, width, total):
         pad = jnp.zeros((width,), v.dtype)
         vp = jnp.concatenate([v, pad])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            vp = jax.lax.with_sharding_constraint(
+                vp, NamedSharding(self.mesh, P())
+            )
+            idx = np.add.outer(np.asarray(starts, np.int32),
+                               np.arange(width, dtype=np.int32))
+            win = vp[jnp.asarray(idx)]
+            axis = self.mesh.axis_names[0]
+            return jax.lax.with_sharding_constraint(
+                win, NamedSharding(self.mesh, P(axis, None))
+            )
         return jnp.stack(
             [jax.lax.slice(vp, (s,), (s + width,)) for s in starts]
         )
 
+    # ------------------------------------------------- sharded fast path
+    def _halo_reach(self, starts, width, v_total, D):
+        """Static max reach of any device's windows beyond its own block
+        of the operand vector; None when a window breaks locality (then
+        the all-gather window form serves instead)."""
+        T = len(starts)
+        per = T // D
+        L = v_total // D
+        H = 0
+        for d in range(D):
+            ss = starts[d * per:(d + 1) * per]
+            if ss:
+                H = max(H, d * L - min(ss),
+                        max(s + width for s in ss) - (d + 1) * L)
+        H = max(H, 0)
+        return H if H <= L else None
+
+    def _halo_apply(self, v, slabs, starts, width, v_total, out_total):
+        """Banded SpMV over the mesh with an explicit fixed-size halo
+        exchange (jax.shard_map): device d owns a contiguous block of
+        128-row tiles and of the operand vector; two neighbor
+        ppermutes of H elements replace the full-vector all-gather —
+        per-step ICI bytes become SIZE-INDEPENDENT (the band-parallel
+        design of the BASELINE.json weak-scaling north star). Returns
+        the sharded output rows, or None when the static gates
+        (divisibility, window locality) fail."""
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        D = int(mesh.devices.size)
+        T = len(starts)
+        if D <= 1 or T % D or v_total % D or out_total % (self.tile * D) \
+                or out_total != T * self.tile:
+            return None
+        H = self._halo_reach(starts, width, v_total, D)
+        if H is None:
+            return None
+        L = v_total // D
+        starts_arr = jnp.asarray(starts, jnp.int32)
+
+        def body(v_loc, slabs_loc, starts_loc):
+            d = jax.lax.axis_index(axis)
+            if H:
+                fwd = [(i, i + 1) for i in range(D - 1)]
+                bwd = [(i + 1, i) for i in range(D - 1)]
+                left = jax.lax.ppermute(v_loc[-H:], axis, fwd)
+                right = jax.lax.ppermute(v_loc[:H], axis, bwd)
+                parts = [left, v_loc, right]
+            else:
+                parts = [v_loc]
+            v_ext = jnp.concatenate(
+                parts + [jnp.zeros((width,), v_loc.dtype)]
+            )
+            off = starts_loc - d * jnp.int32(L) + jnp.int32(H)
+            idx = off[:, None] + jnp.arange(width, dtype=jnp.int32)[None]
+            win = v_ext[idx]                      # (T/D, width)
+            out = jnp.einsum(
+                "trw,tw->tr", slabs_loc, win,
+                preferred_element_type=slabs_loc.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return out.reshape(-1)                # (out_total/D,)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis, None, None), P(axis)),
+            out_specs=P(axis),
+        )(v, slabs, starts_arr)
+
     def matvec(self, x):
-        xw = self._windows(x, self.row_starts, self.w_row, self.n_cols)
-        out = jnp.einsum(
-            "trw,tw->tr", self.row_slabs, xw,
-            preferred_element_type=self.row_slabs.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out = out.reshape(-1)[: self.n_rows]
+        out = None
+        if self.mesh is not None:
+            out = self._halo_apply(x, self.row_slabs, self.row_starts,
+                                   self.w_row, self.n_cols, self.n_rows)
+        if out is None:
+            xw = self._windows(x, self.row_starts, self.w_row,
+                               self.n_cols)
+            out = jnp.einsum(
+                "trw,tw->tr", self.row_slabs, xw,
+                preferred_element_type=self.row_slabs.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out = out.reshape(-1)[: self.n_rows]
         if self.spill_vals.shape[0]:
             out = out + jax.ops.segment_sum(
                 self.spill_vals * x[self.spill_cols], self.spill_rows,
@@ -264,13 +363,19 @@ class BlockBandOp(LinearOperator):
         return out
 
     def rmatvec(self, y):
-        yw = self._windows(y, self.col_starts, self.w_col, self.n_rows)
-        out = jnp.einsum(
-            "trw,tw->tr", self.col_slabs, yw,
-            preferred_element_type=self.col_slabs.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out = out.reshape(-1)[: self.n_cols]
+        out = None
+        if self.mesh is not None:
+            out = self._halo_apply(y, self.col_slabs, self.col_starts,
+                                   self.w_col, self.n_rows, self.n_cols)
+        if out is None:
+            yw = self._windows(y, self.col_starts, self.w_col,
+                               self.n_rows)
+            out = jnp.einsum(
+                "trw,tw->tr", self.col_slabs, yw,
+                preferred_element_type=self.col_slabs.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out = out.reshape(-1)[: self.n_cols]
         if self.t_spill_vals.shape[0]:
             out = out + jax.ops.segment_sum(
                 self.t_spill_vals * y[self.t_spill_cols],
@@ -449,14 +554,18 @@ def _tile_windows(offsets, indices, n_axis, tile, W):
 
 
 def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
-                np_dtype, spill_frac=0.15):
+                np_dtype, spill_frac=0.15, transposed=False):
     """Slab decomposition of a CSR matrix along `n_axis` rows.
 
     Picks the narrowest window width W (multiple of `tile`) such that the
     out-of-window spill stays under spill_frac * nnz, trying the full
     width first (zero spill) and then per-tile-width quantiles. Returns
-    (slabs (T, tile, W), starts tuple, W, (spill_vals, spill_rows,
-    spill_cols)) or None if every candidate blows the slab budget."""
+    (slabs (T, tile, W) — or (T, W, tile) when `transposed` — starts
+    tuple, W, (spill_vals, spill_rows, spill_cols)) or None if every
+    candidate blows the slab budget. (A transposed row layout was tried
+    in r04 and measured 2.6x SLOWER end-to-end on the fused kernel —
+    the lane-lane MXU contraction + sublane-broadcast multiply lower
+    poorly on this Mosaic toolchain; keep (T, tile, W).)"""
     T = (n_axis + tile - 1) // tile
     nnz = len(values)
     # slab budget: up to ~256 stored elements per nonzero (zero-spill
@@ -520,16 +629,15 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
         return None
     W, starts, inside = chosen
 
-    slabs = np.zeros((T, tile, W), np_dtype)
+    shape = (T, W, tile) if transposed else (T, tile, W)
+    slabs = np.zeros(shape, np_dtype)
     if nnz:
         t_of = rows // tile
         r_in = rows % tile
         local = indices - starts[t_of]
-        np.add.at(
-            slabs,
-            (t_of[inside], r_in[inside], local[inside]),
-            values[inside],
-        )
+        idx = (t_of[inside], local[inside], r_in[inside]) if transposed \
+            else (t_of[inside], r_in[inside], local[inside])
+        np.add.at(slabs, idx, values[inside])
     out = ~inside
     spill = (
         values[out].astype(np_dtype),

@@ -181,40 +181,90 @@ def analyze_hlo(n_dev=8, rows_per_dev=4096, band=256):
         dev_s, state_s
     ).compile().as_text()
 
+    # Attribute collectives to HLO computations: ops inside the while-
+    # loop bodies execute once PER STEP; entry-level ops amortize over
+    # the whole major. Count op starts only (async start/done pairs
+    # must not double-count).
+    op_re = re.compile(
+        r"= *\(?(f32|f64|s32|u32|pred|bf16)\[([\d,]*)\][^\n]*?\s"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+        r"(-start|-done)?\(", )
+    comps = re.split(r"\n(?=%?[\w\.\-]+ \(|ENTRY )", txt)
     colls = {}
     byte_total = 0
-    for m in re.finditer(
-        r"(f32|f64|s32|pred)\[([\d,]*)\][^\n]*?\s("
-        r"all-reduce|all-gather|reduce-scatter|collective-permute)"
-        r"[^\n]*", txt,
-    ):
-        kind = m.group(3)
-        dims = m.group(2)
-        n_el = 1
-        for d in dims.split(","):
-            if d:
-                n_el *= int(d)
-        colls[kind] = colls.get(kind, 0) + 1
-        byte_total += n_el * (8 if m.group(1) == "f64" else 4)
+    body_colls = {}
+    body_bytes = 0
+    for comp in comps:
+        c_ops = {}
+        c_bytes = 0
+        for m in op_re.finditer(comp):
+            if m.group(4) == "-done":
+                continue  # async pair: count the -start only
+            kind = m.group(3)
+            n_el = 1
+            for d in m.group(2).split(","):
+                if d:
+                    n_el *= int(d)
+            colls[kind] = colls.get(kind, 0) + 1
+            nb = n_el * (8 if m.group(1) == "f64" else 4)
+            byte_total += nb
+            c_ops[kind] = c_ops.get(kind, 0) + 1
+            c_bytes += nb
+        header = comp.split("(", 1)[0]
+        if "region" in header and c_ops:
+            # a while/fori body: executes once per step (or attempt)
+            for k, v in c_ops.items():
+                body_colls[k] = body_colls.get(k, 0) + v
+            body_bytes += c_bytes
 
     majors = hp.major_iteration
     slab_bytes = int(dev.op.row_slabs.size + dev.op.col_slabs.size) * 4
     per_dev_slab = slab_bytes // n_dev
-    comm_per_step = byte_total / max(majors, 1)
-    # v5e-class: HBM ~819e9 B/s per chip, ICI ~4.5e10 B/s per direction
+    n_coll_total = sum(colls.values())
+    n_body = sum(body_colls.values())
+    # per step: loop-body collectives + entry-level ops amortized
+    coll_per_step = n_body + (n_coll_total - n_body) / max(majors, 1)
+    comm_per_step = body_bytes + (byte_total - body_bytes) / max(
+        majors, 1
+    )
+    # v5e-class: HBM ~819e9 B/s per chip, ICI ~4.5e10 B/s per direction.
+    # Comm time = bandwidth term + LATENCY term (the r03 model ignored
+    # latency and was refuted by its own permute counts). Hop counts by
+    # collective kind: a halo ppermute is ONE neighbor hop; ring
+    # all-gather/all-reduce cost ~(D-1) hops.
+    hop_latency_s = 1e-6
+    hops = 0.0
+    for k, v in body_colls.items():
+        hops += v * (1 if k == "collective-permute" else (n_dev - 1))
+    hops += (n_coll_total - n_body) * (n_dev - 1) / max(majors, 1)
     hbm_t = per_dev_slab / 819e9
-    ici_t = comm_per_step / 4.5e10
-    predicted_eff = hbm_t / (hbm_t + ici_t)
+    ici_bw_t = comm_per_step / 4.5e10
+    ici_lat_t = hops * hop_latency_s
+    predicted_eff = hbm_t / (hbm_t + ici_bw_t + ici_lat_t)
+    # the same structure at production scale (per-device rows grow;
+    # comm bytes/latency per step are size-independent for the gathered
+    # window form, so efficiency climbs with per-device work)
+    scale_curve = {}
+    for mult in (1, 4, 16, 64):
+        h = hbm_t * mult
+        b = ici_bw_t * mult  # all-gather bytes grow with vector size
+        scale_curve[f"{rows_per_dev * mult}_rows_per_dev"] = round(
+            h / (h + b + ici_lat_t), 4
+        )
     return {
         "devices": n_dev,
         "collective_ops_in_program": colls,
+        "collectives_per_step_est": round(coll_per_step, 2),
         "comm_bytes_per_major": int(byte_total),
         "comm_bytes_per_step_est": int(comm_per_step),
         "local_slab_bytes_per_step_per_dev": int(per_dev_slab),
+        "ici_latency_s_per_step_est": round(ici_lat_t, 9),
         "predicted_weak_scaling_efficiency_v5e": round(predicted_eff, 4),
+        "predicted_efficiency_vs_rows_per_dev": scale_curve,
         "note": "virtual CPU mesh wall-clock is NOT a bandwidth "
                 "measurement; this models the compiled HLO's collective "
-                "volume against v5e HBM/ICI rates",
+                "count (x ring latency) AND byte volume against v5e "
+                "HBM/ICI rates",
     }
 
 
