@@ -71,16 +71,41 @@ _G = 8  # row tiles per grid step: row-space vectors then flow through
 # per-(1,128)-op overhead and dynamic row indexing were the bottleneck
 # (measured 1.5us/tile with G=1, ~6x over the DMA floor)
 
+# Max lanes per slab DMA chunk. Measured on the real chip (r04, same
+# matrix, zero spill): W=384 -> 376 GB/s, W=512 -> 418 GB/s, W=640 ->
+# 195 GB/s — block fetches beyond (G,128,512) ~ 2.1 MB collapse the
+# pipeline's effective DMA rate by ~2x. Wider windows are therefore
+# streamed as MULTIPLE <=512-lane chunks of the same array (separate
+# BlockSpecs over identical data), keeping every fetch under the cliff.
+_W_CHUNK = 512
 
-def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
-            y_ref, lc_ref, uc_ref,
-            ax_out, y_out, aty_out, *, W):
+
+def _chunk_widths(W):
+    """Equal-width chunks: the largest 128-multiple divisor of W that
+    stays under _W_CHUNK (equal widths keep every chunk's lane offset
+    divisible by its width, as BlockSpec index units require)."""
+    WB = W // 128
+    best = 1
+    for k in range(1, WB + 1):
+        if WB % k == 0 and k * 128 <= _W_CHUNK:
+            best = k
+    wc = best * 128
+    return tuple([wc] * (W // wc))
+
+
+def _kernel(starts_ref, sigma_ref, *refs, W):
     """Grid step g = _G row tiles (128 rows each).
 
-    Column-space vectors are (n_cols_pad/128, 128); the x-window read and
-    the A^T y accumulation are dynamic SUBLANE-dim slices (Mosaic allows
-    arbitrary row offsets there; 1-D dynamic slices would demand
-    1024-element alignment)."""
+    `refs` = [slab_chunk_0..slab_chunk_{C-1}, x, ax_old, ax_spill, y,
+    lc, uc, ax_out, y_out, aty_out]. Column-space vectors are
+    (n_cols_pad/128, 128); the x-window read and the A^T y accumulation
+    are dynamic SUBLANE-dim slices (Mosaic allows arbitrary row offsets
+    there; 1-D dynamic slices would demand 1024-element alignment)."""
+    widths = _chunk_widths(W)
+    C = len(widths)
+    slab_refs = refs[:C]
+    (x_ref, axo_ref, axs_ref, y_ref, lc_ref, uc_ref,
+     ax_out, y_out, aty_out) = refs[C:]
     g = pl.program_id(0)
     WB = W // 128
 
@@ -93,11 +118,15 @@ def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
     for i in range(_G):
         s128 = starts_ref[g * _G + i]
         xw = x_ref[pl.ds(s128, WB), :]          # (WB, 128)
-        slab = slab_ref[i]                      # (128, W)
-        prod = slab[:, 0:128] * xw[0].reshape(1, 128)
-        for wb in range(1, WB):
-            prod = prod + slab[:, wb * 128:(wb + 1) * 128] * \
-                xw[wb].reshape(1, 128)
+        prod = None
+        wb = 0
+        for c, wc in enumerate(widths):
+            slab = slab_refs[c][i]              # (128, wc)
+            for lb in range(wc // 128):
+                term = slab[:, lb * 128:(lb + 1) * 128] * \
+                    xw[wb].reshape(1, 128)
+                prod = term if prod is None else prod + term
+                wb += 1
         ax_rows.append(jnp.sum(prod, axis=1))
     ax_slab = jnp.stack(ax_rows)                # (_G, 128)
     ax_new = ax_slab + axs_ref[...]             # + spill activity
@@ -114,21 +143,26 @@ def _kernel(starts_ref, sigma_ref, slab_ref, x_ref, axo_ref, axs_ref,
     ax_out[...] = ax_new
     y_out[...] = y_new
     # transpose partials: y_tile^T A_tile accumulated into each tile's
-    # x-window; ONE MXU pass (1,128)@(128,W) per tile (streaming all W
-    # output columns through the array beats WB separate 128-wide dots),
-    # then lane-aligned static slices feed the window accumulator
+    # x-window; ONE MXU pass (1,128)@(128,wc) per tile per chunk
+    # (streaming all wc output columns through the array beats separate
+    # 128-wide dots; an r04 A/B of a VPU transpose+sublane-reduce
+    # variant measured -12% on the staircase bench), then lane-aligned
+    # static slices feed the window accumulator
     for i in range(_G):
         s128 = starts_ref[g * _G + i]
         y_i = y_new[i:i + 1, :]                 # (1, 128) static slice
-        slab = slab_ref[i]
-        part = jax.lax.dot_general(
-            y_i, slab,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                        # (1, W)
-        for wb in range(WB):
-            aty_out[pl.ds(s128 + wb, 1), :] += \
-                part[:, wb * 128:(wb + 1) * 128]
+        wb = 0
+        for c, wc in enumerate(widths):
+            slab = slab_refs[c][i]
+            part = jax.lax.dot_general(
+                y_i, slab,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                    # (1, wc)
+            for lb in range(wc // 128):
+                aty_out[pl.ds(s128 + wb, 1), :] += \
+                    part[:, lb * 128:(lb + 1) * 128]
+                wb += 1
 
 
 @partial(jax.jit, static_argnames=("T", "W", "n_cols_pad", "interpret"))
@@ -148,11 +182,20 @@ def _row_pass(slabs, starts, sigma, x_pad2, ax_old2, ax_spill2, y2,
         return pl.BlockSpec((_G, 128), lambda g, *_: (g, g * 0),
                             memory_space=pltpu.VMEM)
 
+    widths = _chunk_widths(W)
+    slab_specs = []
+    off = 0
+    for wc in widths:
+        c = off // wc
+        slab_specs.append(pl.BlockSpec(
+            (_G, 128, wc),
+            lambda g, *_, c=c: (g, g * 0, g * 0 + c),
+        ))
+        off += wc
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # starts, sigma
         grid=(T // _G,),
-        in_specs=[
-            pl.BlockSpec((_G, 128, W), lambda g, *_: (g, g * 0, g * 0)),
+        in_specs=slab_specs + [
             whole((nbc, 128)),   # x
             rows(),              # ax_old
             rows(),              # ax_spill
@@ -166,6 +209,19 @@ def _row_pass(slabs, starts, sigma, x_pad2, ax_old2, ax_spill2, y2,
             whole((nbc, 128)),   # aty accumulator
         ],
     )
+    kw = {}
+    import os as _os
+    _vm = _os.environ.get("CUOPT_PDHG_VMEM_MB")
+    if _vm:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(_vm) * 1024 * 1024
+        )
+    if not _os.environ.get("CUOPT_PDHG_NO_COST"):
+        kw["cost_estimate"] = pl.CostEstimate(
+            flops=4 * T * 128 * W,
+            bytes_accessed=T * 128 * W * 4,
+            transcendentals=0,
+        )
     return pl.pallas_call(
         partial(_kernel, W=W),
         grid_spec=grid_spec,
@@ -175,12 +231,9 @@ def _row_pass(slabs, starts, sigma, x_pad2, ax_old2, ax_spill2, y2,
             jax.ShapeDtypeStruct((nbc, 128), jnp.float32),
         ],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * T * 128 * W,
-            bytes_accessed=T * 128 * W * 4,
-            transcendentals=0,
-        ),
-    )(starts, sigma, slabs, x_pad2, ax_old2, ax_spill2, y2, lc2, uc2)
+        **kw,
+    )(starts, sigma, *([slabs] * len(widths)),
+      x_pad2, ax_old2, ax_spill2, y2, lc2, uc2)
 
 
 def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,

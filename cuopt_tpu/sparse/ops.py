@@ -600,16 +600,18 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
     while w <= min(w_max, max(int(full_w.max()) if T else tile, tile)):
         cands.append(w)
         w *= 4
-    # Pick the candidate minimizing modeled HBM cost: slab traffic is one
-    # element-read per slab cell. Spill pricing (measured END-TO-END on
-    # the fused kernel, r03 — W=640+1.2k spill beat both W=768 and the
-    # zero-spill W=1024 on the shuffled 50k bench): in-program spill
-    # segment-sums overlap with the slab stream, so spill carries a
-    # moderate fixed penalty + per-entry term rather than the huge cost
-    # standalone gather microbenchmarks suggest; meanwhile the kernel's
-    # effective stream rate FALLS with W, so narrow windows win.
-    SPILL_FIXED = 12 << 20
-    SPILL_COST = 2048
+    # always offer the fast-rate widths (see cost model below)
+    cands.extend([256, 384, 512])
+    # Pick the candidate minimizing modeled wall time, in slab-element
+    # units at the W<=512 stream rate. r04 measurements on the real
+    # chip (same matrix, zero spill): W=512 streams at 418 GB/s but
+    # W>=640 collapses to ~200 GB/s (a hard Mosaic pipeline cliff,
+    # robust to chunked DMA / compute stubs / vmem hints) -> elements
+    # beyond 512 lanes cost ~2.2x. Spill pricing: measured ~31 ns per
+    # spill entry end-to-end (XLA 1-D gather+segment-sum) vs ~9.6 ps
+    # per slab element -> ~3200 element-units per entry.
+    SPILL_COST = 3200
+    WIDE_RATE_PENALTY = 2.2
     chosen, best_cost = None, np.inf
     for W in sorted(set(cands), reverse=True):
         slab_elems = T * tile * W
@@ -620,8 +622,8 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
         n_spill = int((~inside).sum())
         if n_spill > spill_frac * max(nnz, 1):
             continue
-        cost = slab_elems + (SPILL_FIXED + SPILL_COST * n_spill
-                             if n_spill else 0)
+        rate = 1.0 if W <= 512 else WIDE_RATE_PENALTY
+        cost = slab_elems * rate + SPILL_COST * n_spill
         if cost < best_cost:
             best_cost = cost
             chosen = (W, starts, inside)

@@ -190,6 +190,65 @@ def cuthill_mckee_permutation(
     return row_order, col_order
 
 
+def pseudo_peripheral_levels(offsets, indices, n_rows, n_cols,
+                             n_probes=3):
+    """BFS level structure from a pseudo-peripheral row (GPS-style):
+    BFS from a low-degree row, re-seed at the farthest row found,
+    repeat. A DEEP level structure is the backbone of good bandwidth
+    orderings — on a randomly permuted band, level order + midpoint
+    refinement recovered max tile-span 368 vs 625 for plain CM+
+    refinement (r04 measurement). Returns (row_levels, col_levels)."""
+    offsets = np.asarray(offsets, np.int64)
+    indices = np.asarray(indices, np.int64)
+    rows_of = _csr_rows(offsets)
+    t_offsets = np.zeros(n_cols + 1, np.int64)
+    np.add.at(t_offsets, indices + 1, 1)
+    np.cumsum(t_offsets, out=t_offsets)
+    t_indices = rows_of[np.argsort(indices, kind="stable")]
+    rdeg = np.diff(offsets)
+
+    def bfs(seed_rows):
+        rlev = np.full(n_rows, -1, np.int64)
+        clev = np.full(n_cols, -1, np.int64)
+        rlev[seed_rows] = 0
+        frontier, side, lev = seed_rows, "r", 0
+        last = seed_rows
+        while len(frontier):
+            mask = np.zeros(n_cols if side == "r" else n_rows, bool)
+            if side == "r":
+                for f in frontier:
+                    mask[indices[offsets[f]:offsets[f + 1]]] = True
+                nbr = np.flatnonzero(mask)
+                nbr = nbr[clev[nbr] < 0]
+                clev[nbr] = lev
+                frontier, side = nbr, "c"
+            else:
+                for f in frontier:
+                    mask[t_indices[t_offsets[f]:t_offsets[f + 1]]] = True
+                nbr = np.flatnonzero(mask)
+                nbr = nbr[rlev[nbr] < 0]
+                lev += 1
+                rlev[nbr] = lev
+                frontier, side = nbr, "r"
+                if len(nbr):
+                    last = nbr
+        return rlev, clev, last
+
+    nz_rows = np.flatnonzero(rdeg > 0)
+    if len(nz_rows) == 0:
+        return np.zeros(n_rows, np.int64), np.zeros(n_cols, np.int64)
+    seed = np.array([nz_rows[np.argmin(rdeg[nz_rows])]])
+    rlev = clev = None
+    for _ in range(n_probes):
+        rlev, clev, last = bfs(seed)
+        seed = np.array([last[int(np.argmin(rdeg[last]))]])
+    # unreached components / empty rows+cols: append after the deepest
+    deep = max(int(rlev.max()), int(clev.max())) + 1
+    rlev = np.where(rlev < 0, deep, rlev)
+    clev = np.where(clev < 0, deep, clev)
+    return rlev, clev
+
+
 def bandwidth_permutation(
     offsets: np.ndarray,
     indices: np.ndarray,
@@ -236,18 +295,67 @@ def bandwidth_permutation(
             best = (row_order, col_order)
         return best
 
+    def _minmax_sweep(rp, cp, n_iter):
+        """Bandwidth-targeted refinement: order each side by the
+        MIDPOINT (min+max)/2 of its neighbours' positions. Unlike the
+        mean (profile-targeted), the midpoint directly shrinks the max
+        per-tile window; on a randomly permuted band it cut the max
+        width 812 -> 625 on top of CM (r04 measurement)."""
+        row_pos = np.empty(n_rows, np.float64)
+        row_pos[rp] = np.arange(n_rows)
+        col_pos = np.empty(n_cols, np.float64)
+        col_pos[cp] = np.arange(n_cols)
+        ro, co = rp, cp
+        for _ in range(n_iter):
+            p = col_pos[indices]
+            rmin = np.full(n_rows, np.inf)
+            rmax = np.full(n_rows, -np.inf)
+            np.minimum.at(rmin, rows, p)
+            np.maximum.at(rmax, rows, p)
+            with np.errstate(invalid="ignore"):
+                rs = np.where(np.isfinite(rmin), (rmin + rmax) / 2,
+                              row_pos)
+            ro = np.argsort(rs, kind="stable")
+            row_pos[ro] = np.arange(n_rows)
+            q = row_pos[rows]
+            cmin = np.full(n_cols, np.inf)
+            cmax = np.full(n_cols, -np.inf)
+            np.minimum.at(cmin, indices, q)
+            np.maximum.at(cmax, indices, q)
+            with np.errstate(invalid="ignore"):
+                cs = np.where(np.isfinite(cmin), (cmin + cmax) / 2,
+                              col_pos)
+            co = np.argsort(cs, kind="stable")
+            col_pos[co] = np.arange(n_cols)
+        return ro, co
+
     identity = (np.arange(n_rows), np.arange(n_cols))
     candidates = [identity]
     # seed 1: bipartite Cuthill-McKee (recovers hidden bands exactly)
     cm = cuthill_mckee_permutation(offsets, indices, n_rows, n_cols)
     candidates.append(cm)
-    # seed 2: CM refined by barycentric sweeps
+    # seed 2: CM refined by bandwidth-targeted midpoint sweeps
+    candidates.append(_minmax_sweep(cm[0], cm[1], max(10, sweeps)))
+    # seed 3 (usually the winner on permuted bands): pseudo-peripheral
+    # BFS level order refined by midpoint sweeps
+    try:
+        rlev, clev = pseudo_peripheral_levels(offsets, indices, n_rows,
+                                              n_cols)
+        rdeg = np.diff(offsets)
+        cdeg = np.bincount(indices, minlength=n_cols)
+        gps = (np.lexsort((rdeg, rlev)), np.lexsort((cdeg, clev)))
+        candidates.append(gps)
+        candidates.append(_minmax_sweep(gps[0], gps[1],
+                                        max(30, 3 * sweeps)))
+    except Exception:  # noqa: BLE001 — GPS is a best-effort candidate
+        pass
+    # seed 3: CM refined by barycentric sweeps
     cm_row_pos = np.empty(n_rows, np.float64)
     cm_row_pos[cm[0]] = np.arange(n_rows)
     cm_col_pos = np.empty(n_cols, np.float64)
     cm_col_pos[cm[1]] = np.arange(n_cols)
     candidates.append(_sweep(cm_row_pos, cm_col_pos, max(2, sweeps // 2)))
-    # seed 3: natural order + sweeps
+    # seed 4: natural order + sweeps
     candidates.append(_sweep(
         np.arange(n_rows, dtype=np.float64),
         np.arange(n_cols, dtype=np.float64), sweeps,
