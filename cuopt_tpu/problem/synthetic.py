@@ -33,26 +33,33 @@ def generate_lp(
     rng = np.random.default_rng(seed)
     cols = np.empty((n_rows, nnz_per_row), np.int64)
     if band is None:
-        for i in range(n_rows):
-            # distinct columns per row; cheap reservoir for wide rows
-            cols[i] = rng.choice(n_cols, size=nnz_per_row, replace=False) \
-                if nnz_per_row <= n_cols \
-                else rng.integers(0, n_cols, nnz_per_row)
+        if n_rows <= 100_000 and nnz_per_row <= n_cols:
+            for i in range(n_rows):
+                cols[i] = rng.choice(n_cols, size=nnz_per_row,
+                                     replace=False)
+        else:
+            cols[:] = rng.integers(0, n_cols, (n_rows, nnz_per_row))
     else:
         W = max(band, nnz_per_row)
+        Wc = min(W, n_cols)
         centers = (np.arange(n_rows) * n_cols) // max(n_rows, 1)
         starts = np.clip(centers - W // 2, 0, max(n_cols - W, 0))
-        for i in range(n_rows):
-            cols[i] = starts[i] + rng.choice(
-                min(W, n_cols), size=nnz_per_row, replace=False
-            )
+        # vectorized distinct draws per row (chunked argpartition over
+        # a random key matrix; the per-row rng.choice loop took minutes
+        # at 1M rows)
+        chunk = max(1, min(n_rows, (1 << 24) // max(Wc, 1)))
+        for a in range(0, n_rows, chunk):
+            b = min(a + chunk, n_rows)
+            keys = rng.random((b - a, Wc))
+            pick = np.argpartition(
+                keys, nnz_per_row - 1, axis=1
+            )[:, :nnz_per_row]
+            cols[a:b] = starts[a:b, None] + pick
     vals = rng.standard_normal((n_rows, nnz_per_row))
     offsets = np.arange(n_rows + 1, dtype=np.int64) * nnz_per_row
 
     x0 = rng.uniform(0.2, 0.8, n_cols)
-    ax0 = np.zeros(n_rows)
-    for i in range(n_rows):
-        ax0[i] = vals[i] @ x0[cols[i]]
+    ax0 = np.einsum("ij,ij->i", vals, x0[cols])
     slack = rng.uniform(0.1, 1.0, n_rows)
     n_eq = int(equality_fraction * n_rows)
     ub = ax0 + slack
@@ -76,7 +83,9 @@ def generate_lp(
         variable_lower_bounds=np.zeros(n_cols),
         variable_upper_bounds=np.ones(n_cols),
         variable_types=np.full(n_cols, "C", "U1"),
-        variable_names=[f"x{j}" for j in range(n_cols)],
-        row_names=[f"r{i}" for i in range(n_rows)],
+        variable_names=[f"x{j}" for j in range(n_cols)]
+        if n_cols <= 200_000 else [],
+        row_names=[f"r{i}" for i in range(n_rows)]
+        if n_rows <= 200_000 else [],
         problem_name=f"synth_{n_rows}x{n_cols}",
     )

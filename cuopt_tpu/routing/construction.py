@@ -169,7 +169,10 @@ def batched_construction(prob, lsp, routes=None, pending=None, rng=None,
     """
     import numpy as np
 
-    from cuopt_tpu.routing.local_search import BIG, evaluate_insertions
+    from cuopt_tpu.routing.local_search import (
+        BIG,
+        evaluate_insertions_best,
+    )
 
     rng = rng or np.random.default_rng(0)
     routes = {v: list(r) for v, r in (routes or {}).items()}
@@ -200,38 +203,45 @@ def batched_construction(prob, lsp, routes=None, pending=None, rng=None,
         longest = max((len(r) for r in routes.values()), default=1)
         return max(8, ((longest + extra + 7) // 8) * 8)
 
+    # fixed candidate bucket: `pending` shrinks every round, but the
+    # device program must keep ONE shape (a fresh shape means a fresh
+    # XLA compile — minutes over the remote-compile tunnel, the r03
+    # 272 s/400-order construction pathology)
+    P0 = max(8, 1 << max(0, (len(pending) - 1)).bit_length())
     unassigned: list[int] = []
     while pending:
         L_pad = pad_for(4)
         R, lens = to_arrays(L_pad)
-        scores = np.asarray(evaluate_insertions(
-            lsp, R, lens, np.asarray(pending, np.int32)
-        ))  # (P, F, L+1)
-        if noise:
-            scores = scores * (1.0 + noise * rng.uniform(
-                -1, 1, scores.shape
-            ).astype(scores.dtype))
         P = len(pending)
-        flat = scores.reshape(P, -1)
-        best_idx = flat.argmin(axis=1)
-        best_delta = flat[np.arange(P), best_idx]
-        order = np.argsort(best_delta, kind="stable")
+        cand = np.zeros(P0, np.int32)
+        cand[:P] = pending
+        cmask = np.zeros(P0, bool)
+        cmask[:P] = True
+        bd, bv, bs = evaluate_insertions_best(
+            lsp, R, lens, jnp.asarray(cand), jnp.asarray(cmask)
+        )
+        bd = np.asarray(bd)[:P].copy()
+        bv = np.asarray(bv)[:P]
+        bs = np.asarray(bs)[:P]
+        if noise:
+            bd = bd * (1.0 + noise * rng.uniform(-1, 1, P))
+        order = np.argsort(bd, kind="stable")
         used: set[int] = set()
         placed: set[int] = set()
         progress = False
         for pi in order:
-            if best_delta[pi] >= BIG / 2:
+            if bd[pi] >= BIG / 2:
                 continue
             o = pending[pi]
-            # per-route second-best: a route already used this round has
-            # stale scores; defer the order to the next round
-            v, j = divmod(int(best_idx[pi]), scores.shape[2])
+            # a route already used this round has stale scores; defer
+            # the order to the next round
+            v, j = int(bv[pi]), int(bs[pi])
             if v in used:
                 continue
-            cand = routes[v][:j] + [o] + routes[v][j:]
-            if exact_check and not prob.route_feasible(v, cand):
+            cand_r = routes[v][:j] + [o] + routes[v][j:]
+            if exact_check and not prob.route_feasible(v, cand_r):
                 continue
-            routes[v] = cand
+            routes[v] = cand_r
             used.add(v)
             placed.add(o)
             progress = True
@@ -239,7 +249,7 @@ def batched_construction(prob, lsp, routes=None, pending=None, rng=None,
         for pi, o in enumerate(pending):
             if o in placed:
                 continue
-            if best_delta[pi] >= BIG / 2:
+            if bd[pi] >= BIG / 2:
                 # no feasible slot anywhere; insertions never create
                 # feasibility, so the order is undeliverable
                 unassigned.append(o)

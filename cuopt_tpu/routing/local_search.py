@@ -651,6 +651,28 @@ def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
     return jnp.where(mask, delta, BIG)
 
 
+@jax.jit
+def evaluate_insertions_best(p: LsProblem, R, lens, cand_ids,
+                             cand_mask):
+    """Per-candidate best insertion, reduced ON DEVICE: returns
+    (best_delta (P,), best_route (P,), best_slot (P,)).
+
+    Construction calls this once per round with cand_ids PADDED to a
+    fixed bucket (cand_mask False on padding): fixed shapes mean ONE
+    compile for the whole construction (the r03 path recompiled every
+    round as `pending` shrank — minutes each over the remote-compile
+    tunnel) and the host transfer drops from the full (P, F, L+1) score
+    tensor (MBs per round over the tunnel) to three P-vectors."""
+    scores = evaluate_insertions.__wrapped__(p, R, lens, cand_ids)
+    P, F, L1 = scores.shape
+    flat = scores.reshape(P, F * L1)
+    idx = jnp.argmin(flat, axis=1)
+    best = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    best = jnp.where(jnp.asarray(cand_mask), best, BIG)
+    return best, (idx // L1).astype(jnp.int32), \
+        (idx % L1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("kf",))
 def evaluate_moves_topk(p: LsProblem, R, lens, kf: int = 8):
     """Top-kf moves per family in one device program.
