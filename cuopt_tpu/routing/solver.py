@@ -153,7 +153,8 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
                 break
             routes, improved = cycle_search(prob, lsp, routes)
             routes, imp2 = hvrp_reassign(prob, lsp, routes)
-            improved = improved or imp2
+            routes, imp3 = _pdp_pair_improve(prob, routes, timer)
+            improved = improved or imp2 or imp3
             if prob.precedence and improved:
                 from cuopt_tpu.routing.internal import precedence_ok
 
@@ -162,6 +163,62 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
             if not improved:
                 break
     return routes
+
+
+def _pdp_pair_improve(prob, routes, timer, max_rounds=6):
+    """Paired relocate polish for pickup-delivery instances.
+
+    The device move families exclude PD-paired orders (a pickup or
+    delivery cannot move alone), so without this pass PDP instances got
+    construction + GES only. Each (pickup, delivery) unit is removed
+    from its route and re-inserted at its globally best feasible
+    position — same or another route, pickup before delivery by
+    construction (reference: dedicated PDP solver template with paired
+    relocations, cpp/src/routing/solver.cu:85-86 and the CROSS move
+    families, local_search/local_search.cuh:102-160)."""
+    if prob.pd_partner is None:
+        return routes, False
+    pickups = [o for o in range(prob.n_serve)
+               if prob.pd_partner[o] >= 0 and prob.pd_sign[o] > 0]
+    if not pickups:
+        return routes, False
+    from cuopt_tpu.routing.ges import feasible_insertions
+
+    improved_any = False
+    for _ in range(max_rounds):
+        improved = False
+        for p in pickups:
+            if timer.expired():
+                return routes, improved_any
+            d = int(prob.pd_partner[p])
+            va = next((v for v, r in routes.items() if p in r), None)
+            if va is None:
+                continue
+            r_old = routes[va]
+            r_rm = [o for o in r_old if o not in (p, d)]
+            gain = prob.route_cost(va, r_old) - (
+                prob.route_cost(va, r_rm) if r_rm else 0.0
+            )
+            trial = dict(routes)
+            trial[va] = r_rm
+            cands = feasible_insertions(prob, trial, p)
+            if not cands:
+                continue
+            delta, vb, cand = min(cands, key=lambda t: t[0])
+            if delta - gain < -1e-7:
+                trial[vb] = cand
+                if prob.precedence:
+                    from cuopt_tpu.routing.internal import (
+                        precedence_ok,
+                    )
+
+                    if not precedence_ok(prob, trial):
+                        continue
+                routes = trial
+                improved = improved_any = True
+        if not improved:
+            break
+    return routes, improved_any
 
 
 def _enforce_precedence(prob, routes, unassigned, rng, max_rounds=10):

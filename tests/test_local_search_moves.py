@@ -154,3 +154,47 @@ def test_or_opt_moves_adjacent_pair_together():
         )
         for v in (int(mv[0]), int(mv[2])):
             assert prob.route_feasible(v, new_routes[v])
+
+
+def test_pdp_pair_relocate_improves():
+    """Paired relocate polish must measurably improve a deliberately bad
+    PDP construction (reference PDP solver template with paired
+    relocations, solver.cu:85-86): without it, PD-paired orders are
+    excluded from every pairwise device move."""
+    import numpy as np
+
+    from cuopt_tpu.routing.data_model import DataModel
+    from cuopt_tpu.routing.internal import build_problem
+    from cuopt_tpu.routing.solver import _pdp_pair_improve
+    from cuopt_tpu.utils.timer import Timer
+
+    rng = np.random.default_rng(11)
+    n_loc = 17
+    pts = rng.uniform(0, 100, (n_loc, 2))
+    cost = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+    n_orders = 16
+    dm = DataModel(n_loc, 4, n_orders=n_orders)
+    dm.add_cost_matrix(cost)
+    dm.add_transit_time_matrix(cost)
+    dm.set_order_locations(list(range(1, n_orders + 1)))
+    pick = list(range(0, n_orders, 2))
+    drop = list(range(1, n_orders, 2))
+    dm.set_pickup_delivery_pairs(pick, drop)
+    prob = build_problem(dm)
+
+    # deliberately bad assignment: pairs round-robined across vehicles
+    routes = {v: [] for v in range(4)}
+    for k, (p, d) in enumerate(zip(pick, drop)):
+        routes[k % 4] += [p, d]
+    for v, r in routes.items():
+        assert prob.route_feasible(v, r)
+    base = sum(prob.route_cost(v, r) for v, r in routes.items() if r)
+    out, improved = _pdp_pair_improve(prob, routes, Timer(30.0))
+    assert improved
+    new = sum(prob.route_cost(v, r) for v, r in out.items() if r)
+    assert new < base - 1e-6
+    # pairs stay together, pickup first
+    for v, r in out.items():
+        for p, d in zip(pick, drop):
+            if p in r:
+                assert d in r and r.index(p) < r.index(d)
