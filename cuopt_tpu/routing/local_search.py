@@ -53,8 +53,14 @@ class LsProblem:
     allowed: jax.Array  # (n_serve, F) bool
     skip_first: jax.Array  # (F,) bool
     drop_return: jax.Array  # (F,) bool
+    # per-vehicle max route (arc) cost, BIG where unconstrained: scored
+    # as a move-tensor dimension so the device top-k is not mostly
+    # discarded by the host recheck on constrained instances (reference
+    # carries these as route dimensions, route/route.cuh:29)
+    veh_max_cost: jax.Array  # (F,)
     has_tw: bool = struct.field(pytree_node=False)
     allow_2opt: bool = struct.field(pytree_node=False)
+    has_max_cost: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
@@ -73,6 +79,17 @@ def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
         [prob.type_index[int(t)] for t in prob.veh_type], np.int32
     )
     clip = lambda a: np.where(np.isfinite(a), a, BIG)
+    # Max route DURATION folds into the vehicle return deadline: the
+    # evaluator's forward pass departs at veh_tw_early, so
+    # "return by start + max_time" is exact within the device model
+    # (the host recheck stays authoritative for delayed starts).
+    tw_late_eff = np.minimum(
+        clip(prob.veh_tw_late),
+        np.where(np.isfinite(prob.veh_max_time),
+                 prob.veh_tw_early + prob.veh_max_time, BIG),
+    )
+    has_tw = has_tw or bool(np.any(np.isfinite(prob.veh_max_time)))
+    has_max_cost = bool(np.any(np.isfinite(prob.veh_max_cost)))
     return LsProblem(
         order_loc=jnp.asarray(prob.order_loc, jnp.int32),
         e=jnp.asarray(prob.tw_early, dtype),
@@ -84,7 +101,7 @@ def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
         veh_start=jnp.asarray(prob.veh_start, jnp.int32),
         veh_return=jnp.asarray(prob.veh_return, jnp.int32),
         veh_tw_early=jnp.asarray(prob.veh_tw_early, dtype),
-        veh_tw_late=jnp.asarray(clip(prob.veh_tw_late), dtype),
+        veh_tw_late=jnp.asarray(tw_late_eff, dtype),
         veh_fixed=jnp.asarray(prob.veh_fixed_cost, dtype),
         cost_mats=jnp.asarray(prob.cost_mats, dtype),
         time_mats=jnp.asarray(prob.time_mats, dtype),
@@ -92,8 +109,10 @@ def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
         allowed=jnp.asarray(allowed),
         skip_first=jnp.asarray(prob.skip_first, bool),
         drop_return=jnp.asarray(prob.drop_return, bool),
+        veh_max_cost=jnp.asarray(clip(prob.veh_max_cost), dtype),
         has_tw=has_tw,
         allow_2opt=bool(sym) and not has_tw,
+        has_max_cost=has_max_cost,
     )
 
 
@@ -177,6 +196,19 @@ def _move_scores(p: LsProblem, R, lens):
     Rc = jnp.where(valid, R, 0)
     fvec = jnp.arange(F)
 
+    # per-route current arc cost, for max-route-cost move dimensions
+    if p.has_max_cost:
+        pos_arc = jnp.arange(L + 1)
+        c_arc = cmat[fvec[:, None], locs[:, :-1], locs[:, 1:]]
+        c_arc = jnp.where(pos_arc[None] <= lens[:, None], c_arc, 0.0)
+        c_arc = jnp.where((lens > 0)[:, None], c_arc, 0.0)  # (F, L+1)
+        ccost = jnp.sum(c_arc, axis=1)                      # (F,)
+        pre_c = jnp.concatenate(
+            [jnp.zeros((F, 1), c_arc.dtype),
+             jnp.cumsum(c_arc, axis=1)[:, :L]], axis=1,
+        )                                                   # (F, L+1)
+        tail_int = ccost[:, None] - pre_c - c_arc           # (F, L+1)
+
     # ---- relocate: u at (r1, i) -> insert at slot (r2, j) ----
     # removal gain for each position i (1-based augmented index i+1)
     ar = fvec[:, None]
@@ -249,6 +281,13 @@ def _move_scores(p: LsProblem, R, lens):
         # receiving route must still fit in the padded width L
         & (lens[:, None, None, None] + 1 <= L)
     )
+    if p.has_max_cost:
+        # receiving route's new arc cost within its cap (donor only
+        # loses cost); axes (F2, L+1, F1, L)
+        reloc_mask &= (
+            ccost[:, None, None, None] + ins_cost
+            <= p.veh_max_cost[:, None, None, None] + 1e-6
+        )
     # fixed-cost effects: opening r2, closing r1
     open2 = jnp.where(lens == 0, p.veh_fixed, 0.0)
     close1 = jnp.where(lens == 1, p.veh_fixed, 0.0)
@@ -320,6 +359,10 @@ def _move_scores(p: LsProblem, R, lens):
         & allowed_full
         & tw_ok_sw
     )
+    if p.has_max_cost:
+        ok1 = (ccost[:, None, None, None] + d_in
+               <= p.veh_max_cost[:, None, None, None] + 1e-6)
+        swap_mask &= ok1 & jnp.transpose(ok1, (2, 3, 0, 1))
     swap_score = jnp.where(swap_mask, swap_delta, BIG)
 
     # ---- 2-opt intra-route (symmetric, no TW): reverse segment [i..k] ----
@@ -461,6 +504,18 @@ def _move_scores(p: LsProblem, R, lens):
         # both resulting routes must fit in the padded width L
         & (n1_new <= L) & (n2_new <= L)
     )
+    if p.has_max_cost:
+        # new arc cost of each route: kept prefix + new cross arc +
+        # internal cost of the received tail (tail arcs are identical
+        # across compat vehicles)
+        cost1_new = (pre_c[:, :, None, None] + new1
+                     + tail_int[None, None, :, :])
+        cost2_new = (pre_c[None, None, :, :] + new2
+                     + tail_int[:, :, None, None])
+        ts_mask &= (
+            (cost1_new <= p.veh_max_cost[:, None, None, None] + 1e-6)
+            & (cost2_new <= p.veh_max_cost[None, None, :, None] + 1e-6)
+        )
     ts_score = jnp.where(ts_mask, ts_delta, BIG)
 
     # ---- Or-opt: move the 2-segment (i, i+1) of r1 into slot (r2, j) ----
@@ -532,6 +587,11 @@ def _move_scores(p: LsProblem, R, lens):
         # receiving route gains 2 orders; must fit in padded width L
         & (lens[:, None, None, None] + 2 <= L)
     )
+    if p.has_max_cost:
+        oro_mask &= (
+            ccost[:, None, None, None] + (oA + oI + oB - cC)
+            <= p.veh_max_cost[:, None, None, None] + 1e-6
+        )
     close1_seg = jnp.where(lens == 2, p.veh_fixed, 0.0)
     oro_delta = oro_delta + open2[:, None, None, None] - \
         close1_seg[None, None, :, None]
@@ -648,6 +708,16 @@ def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
         & (cap_ok & allowed_ok & fit_ok)[:, :, None]
         & tw_ok
     )
+    if p.has_max_cost:
+        pos_arc = jnp.arange(L + 1)
+        c_arc = cmat[fvec[:, None], locs[:, :-1], locs[:, 1:]]
+        c_arc = jnp.where(pos_arc[None] <= lens[:, None], c_arc, 0.0)
+        c_arc = jnp.where((lens > 0)[:, None], c_arc, 0.0)
+        ccost = jnp.sum(c_arc, axis=1)
+        mask &= (
+            ccost[None, :, None] + (cA + cB - cC)
+            <= p.veh_max_cost[None, :, None] + 1e-6
+        )
     return jnp.where(mask, delta, BIG)
 
 

@@ -122,6 +122,14 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
                 {v: list(r) for v, r in routes.items()}, kinds[c], mv
             )
             if exact:
+                # survival instrumentation: with max cost/time scored
+                # in the move tensors, most device proposals must now
+                # pass the exact recheck (reference carries these as
+                # O(1) route dimensions, route/route.cuh:29)
+                stats = getattr(prob, "_ls_recheck_stats", None)
+                if stats is None:
+                    stats = prob._ls_recheck_stats = [0, 0]
+                stats[0] += 1
                 base = sum(
                     prob.route_cost(v, routes[v]) for v in {va, vb}
                 )
@@ -132,6 +140,7 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
                     prob.route_feasible(v, cand[v]) for v in {va, vb}
                 ):
                     continue  # skip this move, keep scanning candidates
+                stats[1] += 1
                 if prob.precedence:
                     from cuopt_tpu.routing.internal import precedence_ok
 

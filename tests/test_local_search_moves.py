@@ -198,3 +198,40 @@ def test_pdp_pair_relocate_improves():
         for p, d in zip(pick, drop):
             if p in r:
                 assert d in r and r.index(p) < r.index(d)
+
+
+def test_max_cost_time_in_move_tensors():
+    """With per-vehicle max cost/time scored as move-tensor dimensions,
+    the device top-k must mostly SURVIVE the exact host recheck on a
+    constrained instance (>50%; previously the evaluator proposed moves
+    blind to these caps and the host discarded them), and the local
+    search must still improve the solution without violating the caps."""
+    import numpy as np
+
+    from cuopt_tpu.io.vrp import synth_gh_instance
+    from cuopt_tpu.routing.internal import build_problem
+    from cuopt_tpu.routing.local_search import build_ls_problem
+    from cuopt_tpu.routing.solver import _local_search
+    from cuopt_tpu.routing.construction import cheapest_insertion
+    from cuopt_tpu.utils.timer import Timer
+
+    inst = synth_gh_instance(60, "R", seed=9)
+    dm = inst.to_data_model()
+    nf = len(dm.vehicle_types) if getattr(dm, "vehicle_types", None) \
+        is not None else inst.n_vehicles
+    dm.set_vehicle_max_costs(np.full(inst.n_vehicles, 300.0))
+    dm.set_vehicle_max_times(np.full(inst.n_vehicles, 2000.0))
+    prob = build_problem(dm)
+    lsp = build_ls_problem(prob)
+    routes, unassigned = cheapest_insertion(prob)
+    base = sum(prob.route_cost(v, r) for v, r in routes.items() if r)
+    out = _local_search(prob, lsp, routes, Timer(60.0), max_rounds=12)
+    new = sum(prob.route_cost(v, r) for v, r in out.items() if r)
+    assert new <= base + 1e-6
+    for v, r in out.items():
+        if r:
+            assert prob.route_feasible(v, r)
+    stats = getattr(prob, "_ls_recheck_stats", None)
+    assert stats and stats[0] > 0, "no device proposals were rechecked"
+    survival = stats[1] / stats[0]
+    assert survival > 0.5, f"survival {survival:.2f} ({stats})"
