@@ -63,9 +63,14 @@ def _batch_major_fn(cfg):
     return jax.jit(jax.vmap(inner))
 
 
-def batch_solve(probs, settings) -> list[Solution]:
+def batch_solve(probs, settings, mesh=None) -> list[Solution]:
     """Solve a list of LPs; same-shape members are vmapped into one
-    compiled program (reference BatchSolve, solver/solver.py:101)."""
+    compiled program (reference BatchSolve, solver/solver.py:101).
+
+    mesh: optional jax.sharding.Mesh — the stacked batch axis is then
+    SHARDED across the mesh devices (data-parallel node relaxations;
+    BASELINE.json distribution axis 2: "branch-and-bound node batches
+    across chips")."""
     from cuopt_tpu.lp.settings import PDLPSolverSettings
 
     settings = settings or PDLPSolverSettings()
@@ -84,7 +89,7 @@ def batch_solve(probs, settings) -> list[Solution]:
             continue
         try:
             batch_results = _solve_stacked(
-                [probs[i] for i in idxs], settings
+                [probs[i] for i in idxs], settings, mesh=mesh
             )
         except Exception:  # noqa: BLE001 — robust fallback to sequential
             continue
@@ -97,7 +102,7 @@ def batch_solve(probs, settings) -> list[Solution]:
     return results
 
 
-def _solve_stacked(probs, settings):
+def _solve_stacked(probs, settings, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +120,14 @@ def _solve_stacked(probs, settings):
     timer = Timer(settings.time_limit)
 
     kind = _pick_batch_kind(probs)
+    # mesh sharding pads the batch to a device multiple by duplicating
+    # the last member (duplicates solved redundantly, results dropped)
+    n_dup = 0
+    if mesh is not None and mesh.devices.size > 1:
+        D = int(mesh.devices.size)
+        n_dup = (-B) % D
+        probs = list(probs) + [probs[-1]] * n_dup
+        B = len(probs)
     devs, states = [], []
     for p in probs:
         dev = build_device_problem(p, hp, dtype, kind)
@@ -124,6 +137,17 @@ def _solve_stacked(probs, settings):
         devs = _normalize_ell_widths(devs)
     dev_b = jax.tree.map(lambda *xs: jnp.stack(xs), *devs)
     state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if n_dup or (mesh is not None and mesh.devices.size > 1):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def commit(x):
+            spec = P(*((axis,) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        dev_b = jax.tree.map(commit, dev_b)
+        state_b = jax.tree.map(commit, state_b)
     fn = _batch_major_fn(cfg)
 
     t = settings.tolerances

@@ -352,8 +352,11 @@ class BranchAndBound:
         with batched node LP relaxations ... vmapped across the tree
         frontier"): the frontier nodes share one sparsity pattern (only
         the variable bounds differ), so lp/batch.py stacks them into ONE
-        vmapped PDLP program. Returns raw dicts per node; falls back to
-        sequential solves on any batching failure."""
+        vmapped PDLP program — SHARDED over the device mesh when more
+        than one chip is attached (distribution axis 2 of
+        BASELINE.json; each chip solves a slice of the frontier).
+        Returns raw dicts per node; falls back to sequential solves on
+        any batching failure."""
         from cuopt_tpu.lp.batch import batch_solve
 
         s = PDLPSolverSettings()
@@ -363,9 +366,19 @@ class BranchAndBound:
         s.iteration_limit = 50_000
         if timer is not None:
             s.time_limit = max(timer.remaining(), 0.5)
+        mesh = None
+        try:
+            import jax
+
+            if jax.device_count() > 1 and len(nodes) > 1:
+                from cuopt_tpu.parallel import make_mesh
+
+                mesh = make_mesh(min(jax.device_count(), len(nodes)))
+        except Exception:  # noqa: BLE001
+            mesh = None
         probs = [self._node_problem(n.lv, n.uv) for n in nodes]
         try:
-            sols = batch_solve(probs, s)
+            sols = batch_solve(probs, s, mesh=mesh)
             raws = [sol._raw for sol in sols]
         except Exception:  # noqa: BLE001 — robust fallback
             raws = [self._solve_relaxation(n.lv, n.uv, n.x_warm,

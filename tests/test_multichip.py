@@ -187,11 +187,60 @@ def _check_fullsolve():
     print("FULLSOLVE_OK")
 
 
+def _check_frontier():
+    import dataclasses
+
+    import numpy as np
+
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.lp.batch import _pick_batch_kind, batch_solve
+    from cuopt_tpu.lp.settings import PDLPSolverSettings
+    from cuopt_tpu.parallel import make_mesh
+    from cuopt_tpu.problem.synthetic import generate_lp
+
+    base = generate_lp(2048, 2048, 6, seed=5, band=96)
+    probs = []
+    rng = np.random.default_rng(1)
+    for k in range(6):  # 6 members -> padded to 8 on the mesh
+        lv = base.variable_lower_bounds.copy()
+        uv = base.variable_upper_bounds.copy()
+        j = rng.integers(0, base.n_variables, 8)
+        uv[j] = np.minimum(uv[j], 0.5)
+        probs.append(dataclasses.replace(
+            base, variable_lower_bounds=lv, variable_upper_bounds=uv))
+    assert _pick_batch_kind(probs) == "blockband"
+    s = PDLPSolverSettings()
+    s.set_optimality_tolerance(1e-4)
+    s.iteration_limit = 20000
+    plain = batch_solve(probs, s)
+    mesh = make_mesh(8)
+    sharded = batch_solve(probs, s, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        assert a.get_termination_status() == b.get_termination_status()
+        if a.get_termination_status() == \
+                C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+            assert abs(a.get_primal_objective()
+                       - b.get_primal_objective()) <= 1e-4 * (
+                1 + abs(a.get_primal_objective()))
+    print("FRONTIER_EQ_OK")
+
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "equality":
         _check_equality(sys.argv[2])
     elif mode == "fullsolve":
         _check_fullsolve()
+    elif mode == "frontier":
+        _check_frontier()
     else:
         raise SystemExit(f"unknown mode {mode}")
+
+
+
+def test_sharded_frontier_batch_equality():
+    """B&B frontier batch sharded over the mesh == unsharded batch
+    (BASELINE.json distribution axis 2: node batches across chips)."""
+    out = _run_cpu8("frontier", timeout=900)
+    assert "FRONTIER_EQ_OK" in out, out[-2000:]
