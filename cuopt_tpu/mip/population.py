@@ -42,6 +42,12 @@ class Population:
         self.log = get_logger()
         # heuristic workers and the B&B callback insert concurrently
         self._lock = threading.RLock()
+        # adaptive feasibility weight (reference population.cuh:34):
+        # the infeasible half is ranked by obj + w * violation; w rises
+        # when feasible members are scarce (pressure toward
+        # feasibility) and falls when they are plentiful (near-feasible
+        # members with good objectives survive and steer recombination)
+        self.infeas_weight = 1.0
 
     @property
     def best(self):
@@ -74,9 +80,29 @@ class Population:
         v = violation(self.prob, x)
         with self._lock:
             self.infeasible.append((v, x))
-            self.infeasible.sort(key=lambda t: t[0])
+            self._sort_infeasible_locked()
             del self.infeasible[self.max_size:]
         return False
+
+    def _sort_infeasible_locked(self):
+        c = self.prob.objective_coefficients
+        off = self.prob.objective_offset
+        w = self.infeas_weight
+        self.infeasible.sort(
+            key=lambda t: float(c @ t[1] + off) + w * t[0]
+        )
+
+    def adapt_weight(self):
+        """Re-balance the infeasible-half ranking pressure from the
+        current feasible/infeasible mix (reference adaptive weights,
+        population.cuh:34)."""
+        with self._lock:
+            nf, ni = len(self.feasible), len(self.infeasible)
+            if nf < 2 and ni:
+                self.infeas_weight = min(self.infeas_weight * 1.3, 1e6)
+            elif nf > max(ni, 2):
+                self.infeas_weight = max(self.infeas_weight / 1.3, 1e-3)
+            self._sort_infeasible_locked()
 
     # ------------------------------------------------------------ callbacks
     def _run_get_callbacks(self, x, obj):
@@ -168,12 +194,19 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
     while time.monotonic() < t_end and not timer.expired():
         rounds += 1
         pop.poll_set_callbacks()
+        pop.adapt_weight()
         improved = False
         pool, infeas_pool = pop.snapshot(6)
         if len(pool) >= 2:
             i, j = rng.choice(len(pool), size=2, replace=False)
+            xb = pool[j][1]
+            # weight-ranked infeasible members feed recombination too —
+            # search pressure from the infeasible half (reference
+            # population.cuh:34)
+            if infeas_pool and rng.uniform() < 0.3:
+                xb = infeas_pool[0][1]
             child = recombine(
-                prob, pool[i][1], pool[j][1], rng,
+                prob, pool[i][1], xb, rng,
                 fj_budget_s=min(0.5, max(t_end - time.monotonic(), 0.05)),
                 dtype=dtype,
             )
