@@ -361,6 +361,7 @@ class DualSimplex {
     lo_ = p_.lo;
     up_ = p_.up;
     used_big_bounds_ = false;
+    fake_bound_.assign(nt_, 0);
   }
 
   void InitBasis(const int8_t* vstat_in, const double* x_hint,
@@ -480,8 +481,33 @@ class DualSimplex {
         else at_upper_[j] = 1;
       }
     } else {
-      // cold start: dual-feasible placement by cost sign
+      // cold start. FREE columns (no finite bound either side) enter
+      // the initial basis: a NONBASIC free column needs d_j = 0 for
+      // dual feasibility, which a cost-sign placement cannot provide —
+      // the old code gave them ±kBig sentinel bounds, poisoning duals
+      // and the unboundedness test on free-variable instances
+      // (reference runs a phase-1 instead, dual_simplex/phase1.cpp).
+      // Each free column claims a distinct pivot row greedily by
+      // magnitude; slacks fill the remaining rows and Refactorize's
+      // rank repair resolves any linear dependence.
+      std::vector<char> row_used(m_, 0);
       for (int j = 0; j < p_.n; ++j) {
+        if (std::isfinite(lo_[j]) || std::isfinite(up_[j])) continue;
+        int best_row = -1;
+        double best = 1e-8;
+        for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k) {
+          const int r = p_.row_ind[k];
+          const double a = std::fabs(p_.values[k]);
+          if (!row_used[r] && a > best) { best = a; best_row = r; }
+        }
+        if (best_row < 0) continue;  // leftover free: kBig fallback
+        row_used[best_row] = 1;
+        basis_[best_row] = j;
+        in_basis_[j] = 1;
+      }
+      // dual-feasible placement by cost sign for nonbasic structurals
+      for (int j = 0; j < p_.n; ++j) {
+        if (in_basis_[j]) continue;
         if (p_.c[j] >= 0) {
           if (std::isfinite(lo_[j])) at_lower_[j] = 1;
           else at_upper_[j] = 1;
@@ -491,6 +517,7 @@ class DualSimplex {
         }
       }
       for (int i = 0; i < m_; ++i) {
+        if (row_used[i]) continue;
         basis_[i] = p_.n + i;
         in_basis_[p_.n + i] = 1;
       }
@@ -502,10 +529,12 @@ class DualSimplex {
       if (at_lower_[j] && !std::isfinite(lo_[j])) {
         lo_[j] = -kBig;
         used_big_bounds_ = true;
+        fake_bound_[j] = 1;
       }
       if (at_upper_[j] && !std::isfinite(up_[j])) {
         up_[j] = kBig;
         used_big_bounds_ = true;
+        fake_bound_[j] = 1;
       }
     }
   }
@@ -549,6 +578,7 @@ class DualSimplex {
         else {
           lo_[out] = -kBig;
           used_big_bounds_ = true;
+          fake_bound_[out] = 1;
           at_lower_[out] = 1;
         }
         // the replacement slack may be nonbasic: pull it in
@@ -621,6 +651,7 @@ class DualSimplex {
         } else {
           up_[j] = kBig;
           used_big_bounds_ = true;
+          fake_bound_[j] = 1;
           at_lower_[j] = 0;
           at_upper_[j] = 1;
         }
@@ -631,6 +662,7 @@ class DualSimplex {
         } else {
           lo_[j] = -kBig;
           used_big_bounds_ = true;
+          fake_bound_[j] = 1;
           at_upper_[j] = 0;
           at_lower_[j] = 1;
         }
@@ -646,7 +678,12 @@ class DualSimplex {
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
       const double v = at_upper_[j] ? up_[j] : lo_[j];
-      if (std::fabs(std::fabs(v) - kBig) < 1e-3) return true;
+      // a sentinel-parked nonbasic is an unboundedness WITNESS only
+      // under reduced-cost pressure into the sentinel; with |d_j|~0 it
+      // is merely dual-degenerate (cleaned to 0 by Finish)
+      if (std::fabs(std::fabs(v) - kBig) < 1e-3 &&
+          std::fabs(dj_[j]) > 1e-7)
+        return true;
     }
     return false;
   }
@@ -655,6 +692,23 @@ class DualSimplex {
              std::vector<double>* y_out, std::vector<double>* dj_out,
              std::vector<int8_t>* vstat_out, int* iters_out) {
     if (iters_out) *iters_out = iter;
+    // primal cleanup (reference primal.cpp role): a nonbasic FREE
+    // variable parked at a sentinel ±kBig bound with ~zero reduced
+    // cost is dual-degenerate — any value is optimal, so move it to 0
+    // and let the basics re-absorb A_j * delta; the reported solution
+    // then carries no 1e9 artifacts.
+    if (status == kOptimal && used_big_bounds_) {
+      bool cleaned = false;
+      for (int j = 0; j < nt_; ++j) {
+        if (in_basis_[j] || !fake_bound_[j]) continue;
+        if (std::fabs(dj_[j]) <= 1e-7) {
+          if (at_lower_[j]) lo_[j] = 0.0;
+          else up_[j] = 0.0;
+          cleaned = true;
+        }
+      }
+      if (cleaned) ComputeXb();
+    }
     // map y back to ROW space: Btran produced y indexed by row already
     std::vector<double> z(nt_, 0.0);
     for (int j = 0; j < nt_; ++j)
@@ -685,6 +739,7 @@ class DualSimplex {
   std::vector<uint8_t> pref_lower_;
   bool crash_used_ = false;
   bool used_big_bounds_ = false;
+  std::vector<uint8_t> fake_bound_;  // sentinel ±kBig bound holders
 };
 
 }  // namespace tpu_simplex
