@@ -89,9 +89,13 @@ class _Node:
 
 class BranchAndBound:
     def __init__(self, prob, mip_settings, node_lp_tol=1e-6,
-                 max_nodes=100_000):
+                 max_nodes=100_000, probe_cache=None):
         self.prob = prob
         self.settings = mip_settings
+        # root probing cache (reference probing_cache.cuh:88): sparse
+        # implied-bound deltas applied for free at nodes that fix a
+        # probed binary (see _propagate)
+        self.probe_cache = probe_cache or {}
         self.node_lp_tol = node_lp_tol
         self.max_nodes = max_nodes
         self.log = get_logger()
@@ -390,6 +394,16 @@ class BranchAndBound:
 
     def _propagate(self, lv, uv):
         p = self.prob
+        if self.probe_cache:
+            lv = np.asarray(lv, float).copy()
+            uv = np.asarray(uv, float).copy()
+            for j, entry in self.probe_cache.items():
+                if j < len(lv) and uv[j] - lv[j] <= self.int_tol:
+                    hit = entry.get(int(round(lv[j])))
+                    if hit is not None:
+                        idx, l_imp, u_imp = hit
+                        lv[idx] = np.maximum(lv[idx], l_imp)
+                        uv[idx] = np.minimum(uv[idx], u_imp)
         return propagate_bounds(
             p.offsets, p.indices, p.values,
             p.constraint_lower_bounds, p.constraint_upper_bounds,

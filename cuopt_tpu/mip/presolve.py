@@ -180,6 +180,11 @@ class ProbeResult:
     n_probed: int
     n_fixed: int
     tightened: int
+    # probing CACHE (reference probing_cache.cuh:88): per probed binary
+    # and probe value, the SPARSE implied-bound deltas discovered by the
+    # probe propagation — applied for free at B&B nodes that fix the
+    # variable (cache[j][v] = (idx, lv_imp, uv_imp))
+    cache: dict = None
 
 
 def probe_variables(
@@ -216,7 +221,7 @@ def probe_variables(
         (span > int_tol) & (span < 1.0 + int_tol)
     cand = np.flatnonzero(binary)
     if len(cand) == 0:
-        return ProbeResult(lv, uv, False, 0, 0, 0)
+        return ProbeResult(lv, uv, False, 0, 0, 0, {})
     # impact order: number of nonzeros in the variable's column
     col_counts = np.zeros(len(lv), np.int64)
     np.add.at(col_counts, indices, 1)
@@ -224,6 +229,7 @@ def probe_variables(
 
     n_fixed = 0
     tightened = 0
+    cache: dict = {}
     for j in cand:
         if uv[j] - lv[j] <= int_tol:
             continue  # already fixed by an earlier probe
@@ -242,12 +248,24 @@ def probe_variables(
             infeas.append(r.infeasible)
         if infeas[0] and infeas[1]:
             return ProbeResult(lv, uv, True, int(np.sum(cand <= j)),
-                               n_fixed, tightened)
+                               n_fixed, tightened, cache)
         if infeas[0] or infeas[1]:
             keep = branches[1] if infeas[0] else branches[0]
             lv, uv = keep.lv.copy(), keep.uv.copy()
             n_fixed += 1
             continue
+        # probing cache: sparse implied-bound deltas of each branch
+        for bi, val in enumerate((lv[j], uv[j])):
+            br = branches[bi]
+            idx = np.flatnonzero(
+                (br.lv > lv + 1e-9) | (br.uv < uv - 1e-9)
+            )
+            idx = idx[idx != j]
+            if len(idx):
+                cache.setdefault(int(j), {})[int(round(val))] = (
+                    idx.astype(np.int32), br.lv[idx].copy(),
+                    br.uv[idx].copy(),
+                )
         # hull of the two feasible branch domains
         hull_lv = np.minimum(branches[0].lv, branches[1].lv)
         hull_uv = np.maximum(branches[0].uv, branches[1].uv)
@@ -257,7 +275,8 @@ def probe_variables(
             tightened += t
             lv = np.maximum(lv, hull_lv)
             uv = np.minimum(uv, hull_uv)
-    return ProbeResult(lv, uv, False, len(cand), n_fixed, tightened)
+    return ProbeResult(lv, uv, False, len(cand), n_fixed, tightened,
+                       cache)
 
 
 @dataclass

@@ -141,6 +141,7 @@ def _run_mip(prob, settings, timer, log):
     pint.variable_upper_bounds = pres.uv
 
     # ---- presolve: probing on binaries (reference multi_probe.cuh) ----
+    probe_cache = None
     if not timer.expired():
         from cuopt_tpu.mip.presolve import probe_variables
 
@@ -169,6 +170,7 @@ def _run_mip(prob, settings, timer, log):
             pint.variable_lower_bounds = pr.lv
             pint.variable_upper_bounds = pr.uv
             pres.lv, pres.uv = pr.lv, pr.uv
+            probe_cache = pr.cache
 
     # trivial presolve: eliminate fixed variables + compact the CSR
     # (reference trivial_presolve.cuh), then solve the reduced MIP and
@@ -442,7 +444,7 @@ def _run_mip(prob, settings, timer, log):
     # tree (round-3 threaded version starved to nodes=0 under load).
     import time as _time
 
-    bnb = BranchAndBound(pint, settings)
+    bnb = BranchAndBound(pint, settings, probe_cache=probe_cache)
     bnb.solution_callbacks.append(lambda x, o: pop.add(x, from_external=True))
     best0 = pop.best
     if best0 is not None and best0[0] < incumbent_obj:

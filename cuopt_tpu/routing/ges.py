@@ -48,11 +48,11 @@ def _device_insertion_prefilter(prob, routes, o, exclude, top_k=16):
         return None
     if prob.precedence or prob.breaks:
         return None
-    if np.any(np.isfinite(prob.veh_max_cost)) or \
-            np.any(np.isfinite(prob.veh_max_time)) or \
-            np.any(prob.skip_first) or np.any(prob.drop_return):
-        # the device evaluator scores TW/capacity/match only; these
-        # constraints need the exact host scan
+    if np.any(prob.skip_first) or np.any(prob.drop_return):
+        # terminal-arc pricing flags are not in the device evaluator;
+        # those instances need the exact host scan. (Per-vehicle max
+        # cost/time ARE scored in the move tensors now — the host
+        # exact-verifies the top-k either way.)
         return None
     lsp = getattr(prob, "_lsp_cache", None)
     if lsp is None or prob.n_serve * prob.n_fleet < 2000:
