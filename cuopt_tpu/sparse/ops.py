@@ -569,9 +569,14 @@ def _band_slabs(offsets, indices, values, n_axis, n_other, tile,
     T = (n_axis + tile - 1) // tile
     nnz = len(values)
     # slab budget: up to ~256 stored elements per nonzero (zero-spill
-    # windows are worth substantial padding — see spill pricing below)
+    # windows are worth substantial padding — see spill pricing below).
+    # Byte budget sized for HBM-resident slabs at cuOpt-class problem
+    # scale: a 1M x 1M, 50M-nnz LP needs ~1.5 GB of W=384 row slabs
+    # (the old 512 MB cap silently dropped such instances to the ELL
+    # gather path — 0.4 it/s vs hundreds on the slab path); v5e HBM is
+    # 16 GB, and the two slab sides plus vectors fit comfortably.
     elem_budget = max(256 * max(nnz, 1), 1 << 22)
-    byte_budget = 1 << 29
+    byte_budget = 3 << 30
     rows = np.repeat(np.arange(n_axis, dtype=np.int64), np.diff(offsets))
 
     # per-tile full window widths

@@ -54,7 +54,7 @@ def solve_one(path, time_limit, tol, method):
             s.method = method
         sol = solve_lp(prob, s)
     elapsed = time.time() - t0
-    return {
+    out = {
         "instance": os.path.basename(path),
         "rows": prob.n_constraints, "cols": prob.n_variables,
         "nnz": prob.nnz, "mip": is_mip,
@@ -62,6 +62,13 @@ def solve_one(path, time_limit, tol, method):
         "objective": float(sol.get_primal_objective()),
         "solve_s": round(elapsed, 2),
     }
+    if is_mip:
+        try:
+            out["solution_bound"] = float(sol.get_solution_bound())
+            out["mip_gap"] = float(sol.get_mip_gap())
+        except Exception:  # noqa: BLE001
+            pass
+    return out
 
 
 def main():
