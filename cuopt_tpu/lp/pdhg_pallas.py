@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -236,6 +237,128 @@ def _row_pass(slabs, starts, sigma, x_pad2, ax_old2, ax_spill2, y2,
       x_pad2, ax_old2, ax_spill2, y2, lc2, uc2)
 
 
+# Above this many padded x-space elements, the resident x/aty VMEM
+# blocks of the standard kernel break the Mosaic pipeline (measured
+# r04: a 1M-col instance ran at 4 it/s vs the slab stream's potential
+# hundreds). Larger instances use the STREAMED variant below: x windows
+# arrive as per-tile input blocks (one XLA row-gather per iteration)
+# and the transpose partials leave as a streamed output, scattered into
+# the aty vector by an XLA row-segment-sum — nothing column-sized stays
+# resident in VMEM.
+_VMEM_RESIDENT_LIMIT = 1 << 18
+
+
+def _kernel_stream(starts_ref, sigma_ref, *refs, W):
+    """Streamed-partials variant of _kernel (see _VMEM_RESIDENT_LIMIT):
+    identical math, but the x window is a streamed input block and the
+    per-tile transpose partials are a streamed output instead of an
+    in-VMEM aty accumulator."""
+    widths = _chunk_widths(W)
+    C = len(widths)
+    slab_refs = refs[:C]
+    (xw_ref, axo_ref, axs_ref, y_ref, lc_ref, uc_ref,
+     ax_out, y_out, parts_out) = refs[C:]
+    WB = W // 128
+
+    ax_rows = []
+    for i in range(_G):
+        xw = xw_ref[i]                          # (WB, 128)
+        prod = None
+        wb = 0
+        for c, wc in enumerate(widths):
+            slab = slab_refs[c][i]              # (128, wc)
+            for lb in range(wc // 128):
+                term = slab[:, lb * 128:(lb + 1) * 128] * \
+                    xw[wb].reshape(1, 128)
+                prod = term if prod is None else prod + term
+                wb += 1
+        ax_rows.append(jnp.sum(prod, axis=1))
+    ax_slab = jnp.stack(ax_rows)                # (_G, 128)
+    ax_new = ax_slab + axs_ref[...]
+    ax_tilde = 2.0 * ax_new - axo_ref[...]
+    sg = sigma_ref[0]
+    y = y_ref[...]
+    y_low = y + sg * (lc_ref[...] - ax_tilde)
+    y_high = y + sg * (uc_ref[...] - ax_tilde)
+    y_new = jnp.where(
+        y_low > 0.0, y_low,
+        jnp.where(y_high < 0.0, y_high, jnp.zeros_like(y)),
+    )
+    ax_out[...] = ax_new
+    y_out[...] = y_new
+    for i in range(_G):
+        y_i = y_new[i:i + 1, :]
+        wb = 0
+        for c, wc in enumerate(widths):
+            part = jax.lax.dot_general(
+                y_i, slab_refs[c][i],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                    # (1, wc)
+            for lb in range(wc // 128):
+                parts_out[i, wb] = part[0, lb * 128:(lb + 1) * 128]
+                wb += 1
+
+
+@partial(jax.jit, static_argnames=("T", "W", "interpret"))
+def _row_pass_stream(slabs, starts, sigma, xwin, ax_old2, ax_spill2,
+                     y2, lc2, uc2, *, T, W, interpret):
+    WB = W // 128
+    widths = _chunk_widths(W)
+
+    def rows():
+        return pl.BlockSpec((_G, 128), lambda g, *_: (g, g * 0),
+                            memory_space=pltpu.VMEM)
+
+    def rows3(d1):
+        return pl.BlockSpec((_G, d1, 128),
+                            lambda g, *_: (g, g * 0, g * 0),
+                            memory_space=pltpu.VMEM)
+
+    slab_specs = []
+    off = 0
+    for wc in widths:
+        c = off // wc
+        slab_specs.append(pl.BlockSpec(
+            (_G, 128, wc),
+            lambda g, *_, c=c: (g, g * 0, g * 0 + c),
+        ))
+        off += wc
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // _G,),
+        in_specs=slab_specs + [
+            rows3(WB),           # x windows
+            rows(),              # ax_old
+            rows(),              # ax_spill
+            rows(),              # y
+            rows(),              # lc masked
+            rows(),              # uc masked
+        ],
+        out_specs=[
+            rows(),              # ax_new
+            rows(),              # y_new
+            rows3(WB),           # transpose partials
+        ],
+    )
+    return pl.pallas_call(
+        partial(_kernel_stream, W=W),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, WB, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * 128 * W,
+            bytes_accessed=2 * T * 128 * W * 4,
+            transcendentals=0,
+        ),
+    )(starts, sigma, *([slabs] * len(widths)),
+      xwin, ax_old2, ax_spill2, y2, lc2, uc2)
+
+
 def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,
                    interpret: bool | None = None):
     """Run the fused Ax -> dual prox -> A^T y pass.
@@ -280,12 +403,36 @@ def fused_row_pass(op, x_new, ax_old, y, lc0m, uc0m, sigma,
     )
     sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(1)
 
-    ax2, y2n, aty_pad = _row_pass(
-        slabs, starts, sigma_arr, x_pad2,
-        to2(ax_old), to2(ax_spill), to2(y),
-        to2(lc0m, -1e30), to2(uc0m, 1e30),
-        T=T_pad, W=W, n_cols_pad=n_cols_pad, interpret=interpret,
-    )
+    if n_cols_pad > _VMEM_RESIDENT_LIMIT:
+        # streamed variant: x windows gathered by 128-wide ROWS of the
+        # (nbc, 128) layout (window starts are 128-aligned), partials
+        # scattered back the same way
+        WB = W // 128
+        nbc = n_cols_pad // 128
+        starts_np = np.asarray(
+            [s // 128 for s in op.row_starts] + [0] * (T_pad - T),
+            np.int64,
+        )
+        rows_idx = (starts_np[:, None]
+                    + np.arange(WB)[None, :]).reshape(-1)
+        rows_idx_j = jnp.asarray(rows_idx, jnp.int32)
+        xwin = x_pad2[rows_idx_j].reshape(T_pad, WB, 128)
+        ax2, y2n, parts = _row_pass_stream(
+            slabs, starts, sigma_arr, xwin,
+            to2(ax_old), to2(ax_spill), to2(y),
+            to2(lc0m, -1e30), to2(uc0m, 1e30),
+            T=T_pad, W=W, interpret=interpret,
+        )
+        aty_pad = jax.ops.segment_sum(
+            parts.reshape(-1, 128), rows_idx_j, num_segments=nbc,
+        )
+    else:
+        ax2, y2n, aty_pad = _row_pass(
+            slabs, starts, sigma_arr, x_pad2,
+            to2(ax_old), to2(ax_spill), to2(y),
+            to2(lc0m, -1e30), to2(uc0m, 1e30),
+            T=T_pad, W=W, n_cols_pad=n_cols_pad, interpret=interpret,
+        )
     ax_new = ax2.reshape(-1)[:n_rows]
     y_new = y2n.reshape(-1)[:n_rows]
     aty_new = aty_pad.reshape(-1)[:n_cols]

@@ -132,3 +132,16 @@ def test_full_solve_fused_matches_xla():
     assert abs(out["primal_objective"] - ref["primal_objective"]) <= (
         1e-3 * (1 + abs(ref["primal_objective"]))
     )
+
+
+def test_fused_stream_variant_matches_xla(monkeypatch):
+    """The streamed-partials variant (large-column instances: x windows
+    as streamed blocks, transpose partials segment-summed in XLA) must
+    produce identical results to the resident-accumulator kernel."""
+    import cuopt_tpu.lp.pdhg_pallas as pp
+
+    monkeypatch.setattr(pp, "_VMEM_RESIDENT_LIMIT", 1)  # force stream
+    op = _mk(1024, 1024, band=192)
+    _compare(op)
+    op = _mk(1024, 1024, band=192, shuffle=True)
+    _compare(op.inner if hasattr(op, "inner") else op)
