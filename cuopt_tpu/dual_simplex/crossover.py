@@ -41,6 +41,8 @@ def crossover(prob, pdlp_raw, settings, timer):
     raw["iterations"] = pdlp_raw["iterations"]
     if "warm_start_data" in pdlp_raw:
         raw["warm_start_data"] = pdlp_raw["warm_start_data"]
+    if "warm_start_data_fn" in pdlp_raw:
+        raw["warm_start_data_fn"] = pdlp_raw["warm_start_data_fn"]
     log.info(
         f"crossover: vertex objective {raw['primal_objective']:.10g} "
         f"in {raw['crossover_iterations']} simplex iterations "

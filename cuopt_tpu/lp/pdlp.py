@@ -742,7 +742,28 @@ def compute_scaling(op, lc_fin, uc_fin, lc0, uc0, hp: PdlpHyperParams,
 
 def build_device_problem(prob, hp: PdlpHyperParams, dtype,
                          operator_kind: str = "auto") -> DeviceProblem:
-    """Host CSR problem -> scaled on-device problem."""
+    """Host CSR problem -> scaled on-device problem.
+
+    Cached per problem OBJECT: slab construction + upload + scaling
+    took ~20 s per call at 250k rows (r04 profile), and re-solves
+    (warm starts, benchmarks, the concurrent method) were paying it
+    every time. The cache key is (dtype, operator_kind, scaling knobs);
+    callers who mutate a problem in place must drop `_device_cache`."""
+    key = (str(jnp.dtype(dtype)), operator_kind, hp.do_ruiz_scaling,
+           hp.l_inf_ruiz_iterations, hp.do_pock_chambolle_scaling,
+           hp.alpha_pock_chambolle)
+    cache = getattr(prob, "_device_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    dev = _build_device_problem_uncached(prob, hp, dtype, operator_kind)
+    try:
+        prob._device_cache = (key, dev)
+    except Exception:  # noqa: BLE001 — immutable problem containers
+        pass
+    return dev
+
+
+def _build_device_problem_uncached(prob, hp, dtype, operator_kind):
     n, m = prob.n_constraints, prob.n_variables
     sign = -1.0 if prob.maximize else 1.0
     c_orig = jnp.asarray(sign * prob.objective_coefficients, dtype)
@@ -887,6 +908,16 @@ class PdlpSolver:
         self.prob = prob
         self.settings = settings
         self.hp = PRESETS[settings.pdlp_solver_mode]
+        # Large instances amortize the per-major host sync: over the
+        # device tunnel a termination readback costs ~1 s regardless of
+        # size (r04 profile: 15 majors x 40 steps ran 28 s wall vs 1.2 s
+        # of kernel time), so big problems check termination every ~160
+        # steps instead of 40. Termination granularity coarsens by at
+        # most one major — negligible against the per-sync savings.
+        if prob.nnz >= 5_000_000 and self.hp.major_iteration < 160:
+            import dataclasses as _dc
+
+            self.hp = _dc.replace(self.hp, major_iteration=160)
         self.dtype = jnp.float64 if settings.dtype == "float64" \
             else jnp.float32
         t = settings.tolerances
@@ -952,20 +983,35 @@ class PdlpSolver:
                     self.prob.constraint_upper_bounds, 0.0)),
             ), 0.0)))))
         t = settings.tolerances
+        _SCALAR_KEYS = ("opt_cur", "opt_avg", "numerical_error",
+                        "total_steps", "primal_infeasible",
+                        "dual_infeasible")
+        _INFO_KEYS = ("primal_obj", "dual_obj", "gap",
+                      "l2_primal_res", "l2_dual_res")
         while True:
             state, report = self.major_fn(dev, state)
-            # single host sync per major iteration
-            opt_cur = bool(report["opt_cur"])
-            opt_avg = bool(report["opt_avg"])
-            numerical = bool(report["numerical_error"])
-            it = int(report["total_steps"])
+            # ONE host transfer for ALL per-major scalars: each separate
+            # bool()/float() on a device scalar costs a full sync +
+            # tunnel roundtrip (~35 ms at 250k rows; nine such fetches
+            # measured a 500 it/s major loop down to 120 it/s — r04),
+            # so the scalars are stacked on device and fetched together.
+            packed = np.asarray(jnp.stack(
+                [jnp.asarray(report[k], jnp.float64)
+                 for k in _SCALAR_KEYS]
+                + [jnp.asarray(report["info_cur"][k], jnp.float64)
+                   for k in _INFO_KEYS]
+            ))
+            (f_opt_cur, f_opt_avg, f_num, f_steps, f_pinf, f_dinf,
+             v_pobj, v_dobj, v_gap, v_rp, v_rd) = packed
+            opt_cur = bool(f_opt_cur)
+            opt_avg = bool(f_opt_avg)
+            numerical = bool(f_num)
+            it = int(f_steps)
             info_c = report["info_cur"]
             self.log.debug(
-                f"  {it:>8d}  obj {float(info_c['primal_obj']):+.8e}  "
-                f"dual {float(info_c['dual_obj']):+.8e}  "
-                f"gap {float(info_c['gap']):.2e}  "
-                f"|rp| {float(info_c['l2_primal_res']):.2e}  "
-                f"|rd| {float(info_c['l2_dual_res']):.2e}"
+                f"  {it:>8d}  obj {v_pobj:+.8e}  "
+                f"dual {v_dobj:+.8e}  gap {v_gap:.2e}  "
+                f"|rp| {v_rp:.2e}  |rd| {v_rd:.2e}"
             )
             if settings.per_constraint_residual and (opt_cur or opt_avg):
                 # strengthen termination: every constraint's violation must
@@ -996,12 +1042,12 @@ class PdlpSolver:
                             opt_avg = False
             if settings.save_best_primal_so_far or \
                     settings.first_primal_feasible:
-                ok_p = float(info_c["l2_primal_res"]) <= (
+                ok_p = v_rp <= (
                     t.absolute_primal_tolerance
                     + t.relative_primal_tolerance * rhs_norm
                 )
                 if ok_p:
-                    obj_c = float(info_c["primal_obj"])
+                    obj_c = float(v_pobj)
                     if best_primal is None or obj_c < best_primal[0]:
                         best_primal = (obj_c, np.asarray(report["x_cur"]))
                     if settings.first_primal_feasible:
@@ -1016,12 +1062,8 @@ class PdlpSolver:
                 status = C.CUOPT_TERIMINATION_STATUS_NUMERICAL_ERROR
                 break
             if settings.detect_infeasibility:
-                inf_streak = inf_streak + 1 if bool(
-                    report["primal_infeasible"]
-                ) else 0
-                unb_streak = unb_streak + 1 if bool(
-                    report["dual_infeasible"]
-                ) else 0
+                inf_streak = inf_streak + 1 if bool(f_pinf) else 0
+                unb_streak = unb_streak + 1 if bool(f_dinf) else 0
                 if inf_streak >= needed_streak:
                     status = C.CUOPT_TERIMINATION_STATUS_INFEASIBLE
                     break
@@ -1062,10 +1104,23 @@ class PdlpSolver:
                 and best_primal[0] < sol["primal_objective"]:
             sol["primal_solution"] = best_primal[1]
             sol["primal_objective"] = best_primal[0]
-        # full internal state for re-solves (reference pdlp.cu:470-488)
-        from cuopt_tpu.lp.warm_start import capture_warm_start
+        # full internal state for re-solves (reference pdlp.cu:470-488).
+        # Captured LAZILY: the snapshot downloads ~10 full vectors over
+        # the device tunnel (~0.5 s each at 250k rows — r04 profile) and
+        # most solves never use it; Solution.get_pdlp_warm_start_data
+        # materializes on first access. The closure holds only the
+        # state + the two scale vectors, not the slabs.
+        _rs, _cs, _st = dev.row_scale, dev.col_scale, state
 
-        sol["warm_start_data"] = capture_warm_start(dev, state)
+        def _lazy_ws(_st=_st, _rs=_rs, _cs=_cs):
+            from cuopt_tpu.lp.warm_start import capture_warm_start
+
+            class _D:  # minimal dev view for capture_warm_start
+                row_scale, col_scale = _rs, _cs
+
+            return capture_warm_start(_D, _st)
+
+        sol["warm_start_data_fn"] = _lazy_ws
         # solution vectors live in permuted space when the operator was
         # bandwidth-reordered: gather back to user order (warm-start data
         # intentionally stays in permuted space — it is restored against

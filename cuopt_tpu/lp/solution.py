@@ -88,7 +88,12 @@ class Solution:
         """Full PDLP internal state for re-solves (reference
         pdlp_warm_start_data.hpp; settable via
         SolverSettings.set_pdlp_warm_start_data)."""
-        return self._raw.get("warm_start_data")
+        ws = self._raw.get("warm_start_data")
+        if ws is None:
+            fn = self._raw.get("warm_start_data_fn")
+            if fn is not None:
+                ws = self._raw["warm_start_data"] = fn()
+        return ws
 
     def get_mip_gap(self) -> float:
         return self._raw.get("mip_gap", float("nan"))

@@ -254,6 +254,14 @@ class BlockBandOp(LinearOperator):
     def _windows(self, v, starts, width, total):
         pad = jnp.zeros((width,), v.dtype)
         vp = jnp.concatenate([v, pad])
+        if self.mesh is None and len(starts) > 64:
+            # one static-index gather instead of T separate slices: the
+            # per-tile slice stack dispatches T eager ops per call in
+            # the (unjitted) Ruiz scaling loop — 47k dispatches and
+            # ~12 s per 250k-row solve before this (r04 profile)
+            idx = np.add.outer(np.asarray(starts, np.int64),
+                               np.arange(width, dtype=np.int64))
+            return vp[jnp.asarray(idx)]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
