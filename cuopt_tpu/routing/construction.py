@@ -208,21 +208,28 @@ def batched_construction(prob, lsp, routes=None, pending=None, rng=None,
     # XLA compile — minutes over the remote-compile tunnel, the r03
     # 272 s/400-order construction pathology)
     P0 = max(8, 1 << max(0, (len(pending) - 1)).bit_length())
+    # presize the route width for the WHOLE construction: growing it in
+    # +8 buckets recompiled the scoring program 2-3 times per run
+    # (~30-60 s each over the tunnel). Expected final length = orders
+    # per vehicle + slack; pad_for still wins if routes are longer.
+    exp_len = -(-(len(pending) + sum(len(r) for r in routes.values()))
+                // max(prob.n_fleet, 1))
+    L_min = max(8, ((exp_len + 8 + 7) // 8) * 8)
     unassigned: list[int] = []
     while pending:
-        L_pad = pad_for(4)
+        L_pad = max(pad_for(4), L_min)
         R, lens = to_arrays(L_pad)
         P = len(pending)
         cand = np.zeros(P0, np.int32)
         cand[:P] = pending
         cmask = np.zeros(P0, bool)
         cmask[:P] = True
-        bd, bv, bs = evaluate_insertions_best(
+        packed = np.asarray(evaluate_insertions_best(
             lsp, R, lens, jnp.asarray(cand), jnp.asarray(cmask)
-        )
-        bd = np.asarray(bd)[:P].copy()
-        bv = np.asarray(bv)[:P]
-        bs = np.asarray(bs)[:P]
+        ))
+        bd = packed[:P, 0].copy()
+        bv = packed[:P, 1].astype(np.int32)
+        bs = packed[:P, 2].astype(np.int32)
         if noise:
             bd = bd * (1.0 + noise * rng.uniform(-1, 1, P))
         order = np.argsort(bd, kind="stable")

@@ -739,8 +739,12 @@ def evaluate_insertions_best(p: LsProblem, R, lens, cand_ids,
     idx = jnp.argmin(flat, axis=1)
     best = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
     best = jnp.where(jnp.asarray(cand_mask), best, BIG)
-    return best, (idx // L1).astype(jnp.int32), \
-        (idx % L1).astype(jnp.int32)
+    # ONE packed array -> one host transfer (see evaluate_moves_topk)
+    return jnp.stack(
+        [best.astype(jnp.float32),
+         (idx // L1).astype(jnp.float32),
+         (idx % L1).astype(jnp.float32)], axis=1,
+    )
 
 
 @partial(jax.jit, static_argnames=("kf",))
@@ -787,7 +791,15 @@ def evaluate_moves_topk(p: LsProblem, R, lens, kf: int = 8):
     deltas = jnp.concatenate([o[0] for o in outs])
     kinds = jnp.concatenate([o[1] for o in outs])
     mvs = jnp.concatenate([o[2] for o in outs])
-    return deltas, kinds, mvs
+    # pack into ONE array so the host fetches the whole candidate set
+    # in a single transfer (three separate np.asarray calls each cost a
+    # device-tunnel sync — ~0.3-1 s apiece on the axon backend)
+    packed = jnp.concatenate(
+        [deltas[:, None].astype(jnp.float32),
+         kinds[:, None].astype(jnp.float32),
+         mvs.astype(jnp.float32)], axis=1,
+    )
+    return packed
 
 
 @jax.jit

@@ -105,9 +105,10 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
             break
         L_pad = max(L_pad, _pad_len(routes))
         R, lens = _routes_to_arrays(prob, routes, L_pad)
-        deltas, kinds, mvs = (
-            np.asarray(a) for a in evaluate_moves_topk(lsp, R, lens)
-        )
+        packed = np.asarray(evaluate_moves_topk(lsp, R, lens))
+        deltas = packed[:, 0]
+        kinds = packed[:, 1].astype(np.int32)
+        mvs = packed[:, 2:6].astype(np.int32)
         order = np.argsort(deltas, kind="stable")
         touched: set[int] = set()
         applied = 0

@@ -82,9 +82,26 @@ def main():
           f"({per_round * 1e3:.0f} ms/round), cost {cost0:.1f} -> "
           f"{cost1:.1f}", flush=True)
 
+    # per-call dispatch+sync floor of this backend: every construction
+    # round / LS round costs at least one device round trip, which over
+    # the axon tunnel is ~0.3-1 s (vs ~100 us on local TPU hardware) —
+    # the denominator for judging the per-round numbers below
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda v: v + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    _ = np.asarray(tiny(z))
+    floors = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(tiny(z))
+        floors.append(time.perf_counter() - t0)
+    floors.sort()
+
     out = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "per_call_sync_floor_s": round(floors[len(floors) // 2], 3),
         "orders": args.orders,
         "fleet": int(prob.n_fleet),
         "ls_problem_build_s": round(build_s, 2),
