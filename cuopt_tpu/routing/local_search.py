@@ -187,21 +187,36 @@ def _route_tensors(p: LsProblem, R, lens):
 
 
 def _onehot_cols(loc_flat, n_loc, dtype):
-    """One-hot encoding (U, n_loc) of a flat location-index vector —
-    the operand that turns a per-element matrix gather into one MXU
-    matmul (see _pair_costs)."""
+    """Flat location-index vector, carried as-is off-TPU (cheap element
+    gathers there) or one-hot encoded (U, n_loc) on TPU — the operand
+    that turns a per-element matrix gather into one MXU matmul (see
+    _pair_costs)."""
+    if jax.default_backend() != "tpu":
+        return loc_flat  # CPU/GPU: element gathers are cheap
     return (loc_flat[:, None] ==
             jnp.arange(n_loc)[None, :]).astype(dtype)
 
 
 def _pair_costs(mats, row_loc, onehot_u, transpose=False):
-    """mats[f, a, b] looked up at (row_loc[f, j], u) for every u in the
-    one-hot set, WITHOUT element gathers: first a contiguous ROW gather
-    builds tab[f, j, :] = mats[f, row_loc[f, j], :] (or the b-indexed
-    column gather when `transpose`), then one f32-HIGHEST matmul with
-    the one-hot selects the u column — TPU element gathers cost ~30 ns
-    each (~2 s per LS round at 1,000 orders, r04 measurement) while the
-    equivalent one-hot matmul rides the MXU in ~1 ms."""
+    """mats[f, a, b] looked up at (row_loc[f, j], u) for every u.
+
+    On TPU: a contiguous ROW gather builds tab[f, j, :] =
+    mats[f, row_loc[f, j], :] (or the b-indexed column gather when
+    `transpose`), then one f32-HIGHEST matmul with the one-hot selects
+    the u column — TPU element gathers cost ~30 ns each (~2 s per LS
+    round at 1,000 orders, r04 measurement) while the equivalent
+    one-hot matmul rides the MXU in ~1 ms. Off-TPU `onehot_u` is the
+    raw index vector and a direct element gather is both exact and
+    faster (the CPU routing-scale bench regressed 11.6 -> 18.1 s
+    construction under the matmul form)."""
+    if onehot_u.ndim == 1:  # raw indices: direct element gather
+        F = mats.shape[0]
+        fvec = jnp.arange(F)
+        if transpose:
+            return mats[fvec[:, None, None], onehot_u[None, None, :],
+                        row_loc[:, :, None]]
+        return mats[fvec[:, None, None], row_loc[:, :, None],
+                    onehot_u[None, None, :]]
     if transpose:
         # tab[f, j, loc] = mats[f, loc, row_loc[f, j]]
         tab = jnp.take_along_axis(
