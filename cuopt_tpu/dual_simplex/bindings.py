@@ -135,6 +135,12 @@ def solve_lp_simplex(prob, settings, timer, halt=None, vstat=None,
     halt_ptr = ctypes.cast(halt, ctypes.c_void_p) if halt is not None \
         else None
     tl = timer.remaining() if timer is not None else math.inf
+    # settings.time_limit caps the slice too (the MIP root gives the
+    # simplex a bounded budget ON TOP of the global clock; ignoring it
+    # let a degenerate root burn the whole MIP limit in r04)
+    s_tl = getattr(settings, "time_limit", math.inf)
+    if s_tl:
+        tl = min(tl, s_tl)
     if not math.isfinite(tl):
         tl = 1e18
 

@@ -299,7 +299,7 @@ class BranchAndBound:
     # internal orientation: minimize (maximize already negated by caller)
     def _solve_relaxation(self, lv, uv, x_warm=None, y_warm=None,
                           timer=None, effort=1, vstat=None,
-                          iteration_cap=None):
+                          iteration_cap=None, deadline=None):
         sub = self.prob
         node_prob = type(sub)(
             offsets=sub.offsets, indices=sub.indices, values=sub.values,
@@ -322,6 +322,16 @@ class BranchAndBound:
             s.iteration_limit = iteration_cap
         if timer is not None:
             s.time_limit = max(timer.remaining(), 0.5)
+        if deadline is not None:
+            # respect the cooperative slice deadline: one long node
+            # solve must not overrun the whole slice (r04's cod105 run
+            # blew 38s past its limit this way)
+            import time as _time
+
+            s.time_limit = max(
+                min(s.time_limit, deadline - _time.monotonic() + 0.25),
+                0.5,
+            )
         if self.use_simplex:
             from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
             from cuopt_tpu.utils.timer import Timer as _Timer
@@ -504,6 +514,7 @@ class BranchAndBound:
                     raw = self._solve_relaxation(
                         node.lv, node.uv, node.x_warm, node.y_warm,
                         timer, effort=node.effort, vstat=node.vstat,
+                        deadline=deadline,
                     )
                     self.nodes_explored += 1
             if raw["status"] == C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:

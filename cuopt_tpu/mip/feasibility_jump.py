@@ -224,50 +224,146 @@ def fj_chunk(p: FjProblem, states: FjState, n_steps: int):
     return jax.vmap(one)(states)
 
 
+_FJ_BATCH = 9
+
+
+class FjEngine:
+    """Persistent FJ worker: the climber batch is compiled once and then
+    chunk-stepped for the whole solve, with incumbent-aware reseeding —
+    the analogue of the reference's heuristic GPU stream that runs FJ
+    kernels alongside the CPU B&B for the entire MIP solve
+    (cpp/src/mip/solver.cu:179 `dm.run_solver()`).
+
+    The climber batch has a FIXED size so every call site (background
+    engine, recombiner, pump) shares ONE compiled program per problem
+    shape — a cold XLA compile costs minutes on the remote TPU compiler.
+    """
+
+    def __init__(self, prob, x_starts, seed=0, dtype=jnp.float64,
+                 steps_per_chunk=64, obj_weight=1e-3):
+        self.prob = prob
+        self.p = make_fj_problem(prob, dtype)
+        self.dtype = dtype
+        self.steps_per_chunk = steps_per_chunk
+        self.obj_weight = obj_weight
+        self.rng = np.random.default_rng(seed + 7)
+        self.is_int = np.asarray(prob.variable_types == "I")
+        self.lv = np.asarray(prob.variable_lower_bounds, float)
+        self.uv = np.asarray(prob.variable_upper_bounds, float)
+        # mode spread over the climber batch: given starts at graded
+        # objective weights, plus an "on-zero" pure-feasibility climber.
+        weights = [obj_weight, 10 * obj_weight, 0.1 * obj_weight, 0.0]
+        x_starts = list(x_starts)[: _FJ_BATCH - 1]
+        states = [
+            init_state(self.p, x0, seed + i, weights[i % len(weights)])
+            for i, x0 in enumerate(x_starts)
+        ]
+        states.append(init_state(
+            self.p, jnp.zeros((prob.n_variables,), dtype),
+            seed + len(states), 0.0,
+        ))
+        k = 0
+        while len(states) < _FJ_BATCH and x_starts:
+            states.append(init_state(
+                self.p, x_starts[k % len(x_starts)], seed + 101 + k,
+                weights[(k + 1) % len(weights)],
+            ))
+            k += 1
+        self.batch = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states
+        )
+        self.pushed_obj = np.inf
+        self.chunks = 0
+
+    def step(self):
+        """Run one chunk. Returns (best_x, best_obj) when a new best
+        feasible solution appeared this chunk, else None. The first call
+        pays the XLA compile."""
+        self.batch = fj_chunk(self.p, self.batch, self.steps_per_chunk)
+        self.chunks += 1
+        objs = np.asarray(self.batch.best_obj)  # syncs the chunk
+        found = np.asarray(self.batch.has_feasible)
+        if not found.any():
+            return None
+        k = int(np.argmin(np.where(found, objs, np.inf)))
+        if objs[k] < self.pushed_obj - 1e-9:
+            self.pushed_obj = float(objs[k])
+            return np.asarray(self.batch.best_x[k]), float(objs[k])
+        return None
+
+    def _perturb(self, x_inc, frac):
+        """Flip/jitter a random fraction of the integer variables."""
+        x = np.asarray(x_inc, float).copy()
+        idx = np.where(self.is_int)[0]
+        if len(idx) == 0:
+            return x
+        k = max(1, int(frac * len(idx)))
+        pick = self.rng.choice(idx, size=min(k, len(idx)), replace=False)
+        lo, hi = self.lv[pick], self.uv[pick]
+        binary = (hi - lo <= 1.0 + 1e-9) & np.isfinite(lo) & np.isfinite(hi)
+        flip = np.where(binary, lo + hi - x[pick],
+                        x[pick] + self.rng.choice([-1.0, 1.0], len(pick)))
+        x[pick] = np.clip(flip, lo, hi)
+        return x
+
+    def reseed(self, x_inc, n_replace=3):
+        """Incumbent-aware restarts: replace the worst climbers with
+        perturbations of the incumbent (fresh constraint weights), one
+        exactly AT the incumbent — the diversity pressure the reference
+        gets from re-running FJ on population members."""
+        host = jax.tree_util.tree_map(np.asarray, self.batch)
+        objs = np.where(host.has_feasible, host.best_obj, np.inf)
+        # rank current search positions: prefer replacing stalled/worst
+        order = np.argsort(-objs)  # worst first (inf = never feasible)
+        repl = order[:n_replace]
+        weights = [self.obj_weight, 0.1 * self.obj_weight, 0.0]
+        states = []
+        for t, i in enumerate(repl):
+            x0 = x_inc if t == 0 else self._perturb(
+                x_inc, 0.05 * (t + 1))
+            states.append(init_state(
+                self.p, x0, int(self.rng.integers(1 << 30)),
+                weights[t % len(weights)],
+            ))
+        fresh = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *states
+        )
+
+        def merge(h, f):
+            out = np.asarray(h).copy()
+            out[repl] = f
+            return jnp.asarray(out)
+
+        # keep the incumbents the batch already tracks
+        keep = {"best_x", "best_obj", "has_feasible"}
+        merged = {}
+        for name in FjState.__dataclass_fields__:
+            h = getattr(host, name)
+            f = getattr(fresh, name)
+            merged[name] = jnp.asarray(h) if name in keep else merge(h, f)
+        self.batch = FjState(**merged)
+
+
 def run_feasibility_jump(
     prob, x_starts, time_budget_s, seed=0, dtype=jnp.float64,
     steps_per_chunk=64, obj_weight=1e-3,
 ):
-    """Host driver: batch of climbers from the given starting points,
-    chunked until the time budget is spent. Returns (best_x, best_obj,
-    found) in the INTERNAL minimize orientation."""
+    """One-shot driver over FjEngine: chunk until the time budget is
+    spent. The budget clock starts AFTER the first chunk returns, so a
+    cold XLA compile (minutes on the remote TPU compiler) never eats the
+    climbing time. Returns (best_x, best_obj, found) in the INTERNAL
+    minimize orientation."""
     import time
 
-    p = make_fj_problem(prob, dtype)
-    # mode spread over the climber batch: given starts at graded
-    # objective weights, plus an "on-zero" pure-feasibility climber.
-    # The batch is padded to a FIXED size by cycling the starts with
-    # fresh seeds so every call site (one-shot heuristic, recombiner,
-    # pump) shares ONE compiled program per problem shape — a cold XLA
-    # compile costs minutes on the remote TPU compiler.
-    _FJ_BATCH = 9
-    weights = [obj_weight, 10 * obj_weight, 0.1 * obj_weight, 0.0]
-    x_starts = list(x_starts)[: _FJ_BATCH - 1]
-    states = [
-        init_state(p, x0, seed + i, weights[i % len(weights)])
-        for i, x0 in enumerate(x_starts)
-    ]
-    states.append(init_state(
-        p, jnp.zeros((prob.n_variables,), dtype),
-        seed + len(states), 0.0,
-    ))
-    k = 0
-    while len(states) < _FJ_BATCH and x_starts:
-        states.append(init_state(
-            p, x_starts[k % len(x_starts)], seed + 101 + k,
-            weights[(k + 1) % len(weights)],
-        ))
-        k += 1
-    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    eng = FjEngine(prob, x_starts, seed=seed, dtype=dtype,
+                   steps_per_chunk=steps_per_chunk, obj_weight=obj_weight)
+    eng.step()  # compile + first chunk (excluded from the budget)
     t_end = time.monotonic() + time_budget_s
-    while True:
-        batch = fj_chunk(p, batch, steps_per_chunk)
-        found = bool(jnp.any(batch.has_feasible))
-        if time.monotonic() >= t_end:
-            break
-    objs = np.asarray(batch.best_obj)
-    xs = np.asarray(batch.best_x)
-    found = np.asarray(batch.has_feasible)
+    while time.monotonic() < t_end:
+        eng.step()
+    objs = np.asarray(eng.batch.best_obj)
+    xs = np.asarray(eng.batch.best_x)
+    found = np.asarray(eng.batch.has_feasible)
     if not found.any():
         return None, np.inf, False
     k = int(np.argmin(np.where(found, objs, np.inf)))

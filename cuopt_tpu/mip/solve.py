@@ -231,6 +231,175 @@ def _run_mip(prob, settings, timer, log):
             C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
         )
 
+    # ---- population + heuristic engine, BEFORE the root LP ----
+    # The FJ engine thread starts first so its XLA compile overlaps the
+    # host simplex root (compiles release the GIL) and the climbers get
+    # the WHOLE solve duration — in r04 the engine started after the
+    # root relaxation and its 2.6s one-shot budget was all compile,
+    # which is how cod105's optimum-12 incumbent regressed to 0.
+    import threading
+
+    from cuopt_tpu.mip.population import Population, run_diversity_loop
+
+    pop = Population(
+        pint, int_tol=settings.tolerances.integrality_tolerance
+    )
+    pop.callbacks = list(settings.mip_callbacks)
+    for x0 in settings.initial_solutions:
+        x0 = np.asarray(x0, float)
+        if len(x0) == m:
+            x0 = np.where(is_int, np.round(x0), x0)
+            pop.add(x0)
+    incumbent, incumbent_obj = None, math.inf
+    # pre-root seeds: bound midpoints + random roundings (x_relax-based
+    # roundings are added once the root finishes)
+    lv0 = np.where(np.isfinite(pres.lv), pres.lv, 0.0)
+    uv0 = np.where(np.isfinite(pres.uv), pres.uv,
+                   np.maximum(lv0, 0.0) + 1.0)
+    mid = np.clip((lv0 + uv0) / 2, pres.lv, pres.uv)
+    starts = make_roundings(pint, mid, n_random=5)
+    for xr in starts:
+        if is_feasible(pint, xr):
+            obj = float(pint.objective_coefficients @ xr
+                        + pint.objective_offset)
+            pop.add(xr)
+            if obj < incumbent_obj:
+                incumbent, incumbent_obj = xr, obj
+    if pop.best is not None and pop.best[0] < incumbent_obj:
+        incumbent_obj, incumbent = pop.best
+
+    want_fj = m > 20 or incumbent is None
+    dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
+
+    # The FJ engine runs CONTINUOUSLY in a background worker thread for
+    # the whole solve: chunk-stepped climbers with incumbent-aware
+    # reseeding, the reference's persistent heuristic GPU stream
+    # (mip/solver.cu:125-190). XLA compiles and device chunks release
+    # the GIL, so the host tree search keeps the foreground. Results
+    # are injected through the (thread-safe) population and
+    # bnb.set_incumbent.
+    heur_stop = threading.Event()
+    heur_done = threading.Event()  # set once the FJ program is compiled
+    inject_box = {"bnb": None, "x_relax": None}
+
+    def _push(x, obj):
+        if heur_stop.is_set():
+            return
+        pop.add(x)
+        b = inject_box.get("bnb")
+        if b is not None:
+            b.set_incumbent(x, obj)
+
+    def run_heuristic_engine():
+        from cuopt_tpu.mip.feasibility_jump import FjEngine
+
+        def _harvest(out):
+            if out is None:
+                return
+            xfj, objfj = out
+            objfj_total = objfj + float(pint.objective_offset)
+            xfj = np.where(is_int, np.round(xfj), xfj)
+            if is_feasible(pint, xfj):
+                _push(xfj, objfj_total)
+                log.debug(
+                    f"[{timer.elapsed():.1f}s] fj incumbent "
+                    f"{objfj_total:.6g}"
+                )
+            else:
+                log.debug(
+                    f"[{timer.elapsed():.1f}s] fj candidate "
+                    f"{objfj_total:.6g} failed exact recheck"
+                )
+
+        try:
+            try:
+                eng = FjEngine(pint, starts[:8], dtype=dtype)
+                # the warmup chunk pays the XLA compile — and can
+                # already contain the best solution (cod105's optimum
+                # falls out of the FIRST 64 steps), so harvest it too
+                _harvest(eng.step())
+            except Exception as e:  # must never kill the solve
+                log.warning(f"feasibility jump engine failed: {e}")
+                heur_done.set()
+                return
+            log.debug(f"[{timer.elapsed():.1f}s] fj engine compiled")
+            heur_done.set()
+            pumped = False
+            last_inc = math.inf
+            since_reseed = 0
+            while not heur_stop.is_set() and not timer.expired():
+                try:
+                    out = eng.step()
+                except Exception as e:
+                    log.warning(f"feasibility jump step failed: {e}")
+                    break
+                since_reseed += 1
+                _harvest(out)
+                # feasibility pump once, when FJ can't reach feasibility
+                # (reference local_search/feasibility_pump/)
+                x_rel = inject_box.get("x_relax")
+                if not pumped and pop.best is None and \
+                        eng.chunks >= 24 and x_rel is not None:
+                    pumped = True
+                    from cuopt_tpu.mip.feasibility_pump import (
+                        feasibility_pump,
+                    )
+
+                    r = timer.remaining()
+                    fp_budget = 5.0 if not math.isfinite(r) \
+                        else min(0.3 * r, 15.0)
+                    try:
+                        xfp, objfp, found = feasibility_pump(
+                            pint, x_rel, fp_budget,
+                            int_tol=settings.tolerances
+                            .integrality_tolerance,
+                            dtype=settings.dtype,
+                        )
+                        if found:
+                            _push(xfp, objfp)
+                    except Exception as e:
+                        log.warning(f"feasibility pump failed: {e}")
+                # once the root relaxation lands, restart part of the
+                # batch from its roundings (even when infeasible — the
+                # relaxation neighborhood is where FJ repairs fastest)
+                seeds = inject_box.pop("seeds", None)
+                if seeds:
+                    try:
+                        for t, xs in enumerate(seeds[:3]):
+                            eng.reseed(xs, n_replace=1)
+                    except Exception as e:
+                        log.debug(f"fj seed inject failed: {e}")
+                # incumbent-aware restarts: when the pool's best moved
+                # (B&B or recombination found something) or the climbers
+                # have gone stale, restart the worst climbers from
+                # perturbations of the incumbent
+                best = pop.best
+                if best is not None and (
+                    best[0] < last_inc - 1e-9 or since_reseed >= 64
+                ):
+                    last_inc = best[0]
+                    since_reseed = 0
+                    try:
+                        eng.reseed(best[1])
+                    except Exception as e:
+                        log.debug(f"fj reseed failed: {e}")
+                if eng.chunks % 64 == 0:
+                    log.debug(
+                        f"[{timer.elapsed():.1f}s] fj chunks="
+                        f"{eng.chunks} best={eng.pushed_obj:.6g}"
+                    )
+        finally:
+            heur_done.set()
+
+    if want_fj:
+        heur_th = threading.Thread(
+            target=run_heuristic_engine, daemon=True,
+            name="cuopt-mip-heuristics",
+        )
+        heur_th.start()
+    else:
+        heur_done.set()
+
     # ---- root LP relaxation ----
     # When the instance fits the native-simplex gate, the root is solved
     # EXACTLY by the host dual simplex (reference root bounds are exact
@@ -240,6 +409,7 @@ def _run_mip(prob, settings, timer, log):
     # avoids per-dispatch device latency on small MIPs.
     root = None
     root_bound = -math.inf
+    simplex_stalled = False
     fits_simplex = (
         pint.n_constraints <= 20_000 and pint.n_variables <= 40_000
         and pint.nnz <= 2_000_000
@@ -251,15 +421,30 @@ def _run_mip(prob, settings, timer, log):
 
             if is_available():
                 s0 = PDLPSolverSettings()
-                if math.isfinite(timer.remaining()):
-                    s0.time_limit = max(0.25 * timer.remaining(), 1.0)
+                # hard-capped budget: a degenerate root LP (set covering
+                # etc.) can stall the dual simplex for the WHOLE limit
+                # (cod105 burned 25% of the clock in r04); if the root
+                # doesn't finish inside this slice, the nodes won't
+                # either — mark the engine stalled and run the tree on
+                # batched PDLP relaxations instead
+                rem = timer.remaining()
+                s0.time_limit = min(
+                    max(0.1 * rem, 2.0) if math.isfinite(rem) else 15.0,
+                    15.0,
+                )
                 root = solve_lp_simplex(pint, s0, timer)
+                log.debug(
+                    f"[{timer.elapsed():.1f}s] root simplex: "
+                    f"status={root['status']} "
+                    f"iters={root.get('iterations')}"
+                )
                 if root["status"] == \
                         C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
                     root_bound = float(root["dual_objective"])
                 elif root["status"] != \
                         C.CUOPT_TERIMINATION_STATUS_INFEASIBLE:
                     root = None  # unbounded/limit: fall back to PDLP
+                    simplex_stalled = True
         except Exception as e:
             log.debug(f"simplex root failed, falling back to PDLP: {e}")
             root = None
@@ -289,29 +474,20 @@ def _run_mip(prob, settings, timer, log):
             C.CUOPT_TERIMINATION_STATUS_INFEASIBLE, timer=timer,
         )
     x_relax = root["primal_solution"]
+    inject_box["x_relax"] = x_relax
+    log.debug(f"[{timer.elapsed():.1f}s] root relaxation done, "
+              f"bound={root_bound:.6g}")
 
-    # ---- heuristics: roundings + feasibility jump + pump ----
-    from cuopt_tpu.mip.population import Population, run_diversity_loop
-
-    pop = Population(
-        pint, int_tol=settings.tolerances.integrality_tolerance
-    )
-    pop.callbacks = list(settings.mip_callbacks)
-    for x0 in settings.initial_solutions:
-        x0 = np.asarray(x0, float)
-        if len(x0) == m:
-            x0 = np.where(is_int, np.round(x0), x0)
-            pop.add(x0)
-    incumbent, incumbent_obj = None, math.inf
-    starts = make_roundings(pint, x_relax, n_random=5)
+    # ---- relaxation-guided roundings ----
     # constraint-prop rounding + bounds-repaired variants (reference
     # local_search/rounding/{constraint_prop,bounds_repair}.cu)
+    relax_starts = make_roundings(pint, x_relax, n_random=5)
     cp = constraint_prop_rounding(pint, x_relax)
     if cp is not None:
-        starts.append(cp)
-    for xr in list(starts[:3]):
-        starts.append(bounds_repair_rounding(pint, xr))
-    for xr in starts:
+        relax_starts.append(cp)
+    for xr in list(relax_starts[:3]):
+        relax_starts.append(bounds_repair_rounding(pint, xr))
+    for xr in relax_starts:
         if is_feasible(pint, xr):
             obj = float(pint.objective_coefficients @ xr
                         + pint.objective_offset)
@@ -321,102 +497,15 @@ def _run_mip(prob, settings, timer, log):
     if pop.best is not None and pop.best[0] < incumbent_obj:
         incumbent_obj = pop.best[0]
         incumbent = pop.best[1]
-    # FJ budget: bounded slice of remaining time, scaled to problem size
-    # (tiny problems don't deserve seconds of hill climbing)
-    rem = timer.remaining()
-    size_cap = 0.5 + 0.002 * m + 1e-6 * pint.nnz
-    fj_budget = min(
-        3.0 if not math.isfinite(rem) else max(min(0.2 * rem, 10.0), 0.5),
-        size_cap,
-    )
-    if incumbent is not None and m < 50:
-        # roundings already produced a solution; keep only a token FJ
-        # run when the cooperative loop will run (m > 20) so the
-        # diversity loop's recombiner finds the FJ program already
-        # compiled (a cold XLA compile in the main thread would starve
-        # the B&B slices it is interleaved with)
-        fj_budget = 0.25 if m > 20 else 0.0
-    dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
-
-    # One-shot heuristics (FJ + feasibility pump) run in a BACKGROUND
-    # worker thread: their cost is dominated by XLA compilation (which
-    # releases the GIL — minutes cold on the remote TPU compiler), so
-    # the exact tree search must not wait on them. Results are injected
-    # through the (thread-safe) population and bnb.set_incumbent —
-    # the reference's two-stream architecture (mip/solver.cu:125-190)
-    # realized as compile-in-background + host B&B in the foreground.
-    import threading
-
-    heur_stop = threading.Event()
-    heur_done = threading.Event()
-    inject_box = {"bnb": None}
-
-    def _push(x, obj):
-        if heur_stop.is_set():
-            return
-        pop.add(x)
-        b = inject_box.get("bnb")
-        if b is not None:
-            b.set_incumbent(x, obj)
-
-    def run_oneshot_heuristics():
-        try:
-            if fj_budget > 0 and not heur_stop.is_set() \
-                    and not timer.expired():
-                try:
-                    xfj, objfj, found = run_feasibility_jump(
-                        pint, starts[:8], fj_budget, dtype=dtype
-                    )
-                    if found:
-                        objfj_total = objfj + float(pint.objective_offset)
-                        xfj = np.where(is_int, np.round(xfj), xfj)
-                        if is_feasible(pint, xfj):
-                            _push(xfj, objfj_total)
-                except Exception as e:  # must never kill the solve
-                    log.warning(f"feasibility jump failed: {e}")
-            # feasibility pump when nothing feasible yet (reference
-            # local_search/feasibility_pump/)
-            if pop.best is None and not timer.expired() \
-                    and not heur_stop.is_set():
-                from cuopt_tpu.mip.feasibility_pump import (
-                    feasibility_pump,
-                )
-
-                r = timer.remaining()
-                fp_budget = 5.0 if not math.isfinite(r) \
-                    else min(0.3 * r, 15.0)
-                try:
-                    xfp, objfp, found = feasibility_pump(
-                        pint, x_relax, fp_budget,
-                        int_tol=settings.tolerances.integrality_tolerance,
-                        dtype=settings.dtype,
-                    )
-                    if found:
-                        _push(xfp, objfp)
-                except Exception as e:
-                    log.warning(f"feasibility pump failed: {e}")
-        finally:
-            heur_done.set()
-
-    want_heuristics = fj_budget > 0 or incumbent is None
-    if want_heuristics:
-        heur_th = threading.Thread(
-            target=run_oneshot_heuristics, daemon=True,
-            name="cuopt-mip-heuristics",
-        )
-        heur_th.start()
-    else:
-        heur_done.set()
+    inject_box["seeds"] = relax_starts[:3]
 
     if settings.heuristics_only:
         # evolutionary loop only (reference heuristics_only,
-        # mip/solver_settings.hpp)
+        # mip/solver_settings.hpp); the FJ engine keeps climbing in the
+        # background while the main thread recombines
         rem = timer.remaining()
-        if math.isfinite(rem):
-            heur_done.wait(timeout=max(rem, 0.0))
-        else:
-            heur_done.wait(timeout=60.0)
-        heur_stop.set()
+        heur_done.wait(timeout=max(rem, 0.0) if math.isfinite(rem)
+                       else 600.0)
         rem = timer.remaining()
         if math.isfinite(rem) and rem > 0.2:
             run_diversity_loop(
@@ -424,6 +513,13 @@ def _run_mip(prob, settings, timer, log):
                 rng=np.random.default_rng(0), dtype=settings.dtype,
                 x_relax=x_relax,
             )
+        elif not math.isfinite(rem):
+            run_diversity_loop(
+                pint, pop, timer, 30.0, bnb=None,
+                rng=np.random.default_rng(0), dtype=settings.dtype,
+                x_relax=x_relax,
+            )
+        heur_stop.set()
         if pop.best is not None:
             incumbent_obj, incumbent = pop.best
         if incumbent is not None:
@@ -445,6 +541,11 @@ def _run_mip(prob, settings, timer, log):
     import time as _time
 
     bnb = BranchAndBound(pint, settings, probe_cache=probe_cache)
+    if simplex_stalled:
+        # the root stalled inside its simplex budget (degenerate LP);
+        # node relaxations would stall the same way — run the tree on
+        # batched PDLP relaxations instead
+        bnb.use_simplex = False
     bnb.solution_callbacks.append(lambda x, o: pop.add(x, from_external=True))
     best0 = pop.best
     if best0 is not None and best0[0] < incumbent_obj:

@@ -233,6 +233,104 @@ def _check_frontier():
 
 
 
+def _check_islands():
+    """Routing population islands sharded over the mesh (BASELINE
+    distribution axis 3): the 8-device epoch must equal a single-device
+    simulation of the same epoch semantics (sweep + ring migration +
+    worst-replacement), improve on construction, and keep solutions
+    well-formed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuopt_tpu.io.vrp import synth_gh_instance
+    from cuopt_tpu.parallel import make_mesh
+    from cuopt_tpu.routing.construction import cheapest_insertion
+    from cuopt_tpu.routing.internal import build_problem
+    from cuopt_tpu.routing.islands import (
+        island_epoch,
+        ls_sweep,
+        make_island_members,
+        solution_cost_device,
+    )
+    from cuopt_tpu.routing.local_search import build_ls_problem
+
+    assert len(jax.devices()) >= 8
+    inst = synth_gh_instance(40, "C", seed=3)
+    prob = build_problem(inst.to_data_model())
+    routes, un = cheapest_insertion(prob)
+    assert not un
+    F = prob.n_fleet
+    L = max(8, max((len(r) for r in routes.values()), default=0) + 4)
+    R0 = -np.ones((F, L), np.int32)
+    lens0 = np.zeros(F, np.int32)
+    for v, r in routes.items():
+        R0[v, :len(r)] = r
+        lens0[v] = len(r)
+    host_cost = sum(
+        prob.route_cost(v, r) for v, r in routes.items() if r
+    )
+    p = build_ls_problem(prob)
+    dev_cost = float(
+        solution_cost_device(p, jnp.asarray(R0), jnp.asarray(lens0))
+    )
+    assert abs(host_cost - dev_cost) < 1e-3 * max(1.0, abs(host_cost))
+
+    D, P, n_steps = 8, 2, 5
+    Rs, lenss = make_island_members(R0, lens0, D * P)
+    Rs_d = jnp.asarray(Rs)
+    lens_d = jnp.asarray(lenss)
+    mesh = make_mesh(D)
+    Rs8, lens8, costs8, best8 = island_epoch(
+        p, Rs_d, lens_d, mesh, n_steps=n_steps
+    )
+    best8 = float(best8)
+    assert best8 <= host_cost + 1e-6
+
+    # single-device simulation of the same epoch
+    Rsw, lensw = jax.vmap(lambda R, ln: ls_sweep(p, R, ln, n_steps))(
+        Rs_d, lens_d
+    )
+    costw = np.array(np.asarray(jax.vmap(
+        lambda R, ln: solution_cost_device(p, R, ln)
+    )(Rsw, lensw)))
+    Rw = np.array(np.asarray(Rsw).reshape(D, P, F, L))
+    lw = np.array(np.asarray(lensw).reshape(D, P, F))
+    cw = costw.reshape(D, P)
+    champ = cw.argmin(axis=1)
+    worst = cw.argmax(axis=1)
+    champ_R = Rw[np.arange(D), champ]
+    champ_l = lw[np.arange(D), champ]
+    champ_c = cw[np.arange(D), champ]
+    for d in range(D):
+        src = (d - 1) % D
+        if champ_c[src] < cw[d, worst[d]]:
+            Rw[d, worst[d]] = champ_R[src]
+            lw[d, worst[d]] = champ_l[src]
+            cw[d, worst[d]] = champ_c[src]
+    np.testing.assert_allclose(
+        np.sort(np.asarray(costs8)), np.sort(cw.reshape(-1)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        best8, float(champ_c.min()), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(Rs8).reshape(D, P, F, L), Rw
+    )
+
+    # well-formed champion: every order exactly once
+    c8 = np.asarray(costs8)
+    k = int(np.argmin(c8))
+    R8 = np.asarray(Rs8)[k]
+    l8 = np.asarray(lens8)[k]
+    orders = sorted(
+        int(o) for f in range(F) for o in R8[f, :l8[f]]
+    )
+    assert orders == list(range(prob.n_serve))
+    print("ISLANDS_OK")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "equality":
@@ -241,6 +339,8 @@ if __name__ == "__main__":
         _check_fullsolve()
     elif mode == "frontier":
         _check_frontier()
+    elif mode == "islands":
+        _check_islands()
     else:
         raise SystemExit(f"unknown mode {mode}")
 
@@ -251,3 +351,11 @@ def test_sharded_frontier_batch_equality():
     (BASELINE.json distribution axis 2: node batches across chips)."""
     out = _run_cpu8("frontier", timeout=900)
     assert "FRONTIER_EQ_OK" in out, out[-2000:]
+
+
+def test_sharded_routing_islands():
+    """Routing population islands sharded over the mesh == single-device
+    simulation (BASELINE.json distribution axis 3: route populations
+    across chips; reference diverse_solver.hpp:151 island model)."""
+    out = _run_cpu8("islands", timeout=900)
+    assert "ISLANDS_OK" in out, out[-2000:]
