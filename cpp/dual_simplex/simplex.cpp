@@ -141,6 +141,22 @@ class DualSimplex {
         const double el = std::chrono::duration<double>(
             std::chrono::steady_clock::now() - t0).count();
         if (el > time_limit) { status = kTimeLimit; break; }
+        // a numerically blown-up basis shows as nonfinite basic values;
+        // on a FREE basic column this is otherwise silent (no bound to
+        // violate), and an ±inf x_B poisons the reported solution
+        // (bitten on 50v-10-free-bound: x[374]=+inf at "optimal")
+        bool bad = false;
+        for (int i = 0; i < m_; ++i)
+          if (!std::isfinite(xb_[i])) { bad = true; break; }
+        if (bad) {
+          if (!Refactorize()) { status = kNumerical; break; }
+          ComputeXb();
+          ComputeDualsAndPrices();
+          bool still_bad = false;
+          for (int i = 0; i < m_; ++i)
+            if (!std::isfinite(xb_[i])) { still_bad = true; break; }
+          if (still_bad) { status = kNumerical; break; }
+        }
       }
 
       // ---- leaving row: dual Devex, max violation^2 / gamma ----
@@ -165,6 +181,14 @@ class DualSimplex {
           ComputeXb();
           ComputeDualsAndPrices();
           continue;  // re-scan with exact values
+        }
+        {
+          // optimality may not be claimed with a nonfinite basic value
+          // (free basics have no bound to flag the blow-up)
+          bool bad = false;
+          for (int i = 0; i < m_; ++i)
+            if (!std::isfinite(xb_[i])) { bad = true; break; }
+          if (bad) { status = kNumerical; }
         }
         break;
       }
@@ -505,21 +529,25 @@ class DualSimplex {
         basis_[best_row] = j;
         in_basis_[j] = 1;
       }
-      // dual-feasible placement by cost sign for nonbasic structurals
-      for (int j = 0; j < p_.n; ++j) {
+      for (int i = 0; i < m_; ++i) {
+        if (row_used[i]) continue;
+        basis_[i] = p_.n + i;
+        in_basis_[p_.n + i] = 1;
+      }
+      // dual-feasible placement by cost sign for ALL nonbasics —
+      // including the slacks of rows claimed by free columns (leaving
+      // them unplaced read lo_=-inf in ComputeXb and poisoned x_B on
+      // free-variable instances)
+      for (int j = 0; j < nt_; ++j) {
         if (in_basis_[j]) continue;
-        if (p_.c[j] >= 0) {
+        const double cj = j < p_.n ? p_.c[j] : 0.0;
+        if (cj >= 0) {
           if (std::isfinite(lo_[j])) at_lower_[j] = 1;
           else at_upper_[j] = 1;
         } else {
           if (std::isfinite(up_[j])) at_upper_[j] = 1;
           else at_lower_[j] = 1;
         }
-      }
-      for (int i = 0; i < m_; ++i) {
-        if (row_used[i]) continue;
-        basis_[i] = p_.n + i;
-        in_basis_[p_.n + i] = 1;
       }
     }
     // any nonbasic without a finite bound on its placed side gets a
@@ -711,8 +739,21 @@ class DualSimplex {
     }
     // map y back to ROW space: Btran produced y indexed by row already
     std::vector<double> z(nt_, 0.0);
-    for (int j = 0; j < nt_; ++j)
-      if (!in_basis_[j]) z[j] = at_upper_[j] ? up_[j] : lo_[j];
+    for (int j = 0; j < nt_; ++j) {
+      if (in_basis_[j]) continue;
+      double v = at_upper_[j] ? up_[j] : lo_[j];
+      if (!std::isfinite(v)) {
+        // a nonbasic parked on an infinite side is dual-degenerate
+        // bookkeeping residue — 0 is an equally optimal placement, and
+        // reporting ±inf would poison every downstream consumer
+        // (MIP roundings, LP completions, warm starts)
+        if (std::getenv("DS_DEBUG"))
+          std::fprintf(stderr, "[ds] nonbasic %d at infinite %s dj=%g\n",
+                       j, at_upper_[j] ? "upper" : "lower", dj_[j]);
+        v = 0.0;
+      }
+      z[j] = v;
+    }
     for (int i = 0; i < m_; ++i) z[basis_[i]] = xb_[i];
     x_out->assign(z.begin(), z.begin() + p_.n);
     *y_out = y_;

@@ -248,15 +248,20 @@ class SparseLU {
           work[i] -= Lx_[p] * z;
         }
       }
-      // pivot: max |work| over un-pivoted rows
+      // pivot: max |work| over un-pivoted rows. Reject pivots that are
+      // tiny RELATIVE to the whole eliminated column too: accepting a
+      // 1e-11-ish pivot under 1e0-scale eliminated mass emits 1e10+
+      // L entries whose chains overflow x_B to inf on bases with many
+      // forced free columns (50v-10-free-bound blew up this way).
       int prow = -1;
-      double best = 0.0;
+      double best = 0.0, colmax = 0.0;
       for (const int i : pattern) {
-        if (pivot_col_of_row_[i] >= 0) continue;
         const double a = std::fabs(work[i]);
+        colmax = std::max(colmax, a);
+        if (pivot_col_of_row_[i] >= 0) continue;
         if (a > best) { best = a; prow = i; }
       }
-      if (prow < 0 || best < kAbsPivTol) {
+      if (prow < 0 || best < kAbsPivTol || best < kRelPivTol * colmax) {
         // dependent column: report for slack repair
         int freed = -1;
         for (int i = 0; i < m_; ++i)
@@ -350,6 +355,7 @@ class SparseLU {
 
  private:
   static constexpr double kAbsPivTol = 1e-11;
+  static constexpr double kRelPivTol = 1e-9;
   // PFI etas divide by the pivot: a 1e-9 pivot amplifies O(1) rounding
   // into O(1e7) solution error, silently corrupting x_B between
   // refactorizations. Reject early and let the simplex refactorize.

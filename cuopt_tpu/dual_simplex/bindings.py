@@ -48,15 +48,27 @@ def load_library():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.abspath(_SRC_PATH)
-        if not os.path.exists(src):
-            return None
+    src = os.path.abspath(_SRC_PATH)
+    src_dir = os.path.dirname(src)
+    newest = max(
+        (os.path.getmtime(os.path.join(src_dir, f))
+         for f in os.listdir(src_dir)
+         if f.endswith((".cpp", ".hpp", ".h"))),
+        default=0.0,
+    ) if os.path.isdir(src_dir) else 0.0
+    stale = (
+        os.path.exists(src)
+        and (not os.path.exists(_LIB_PATH)
+             or newest > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
         subprocess.run(
             ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o",
              _LIB_PATH, src],
             check=True, capture_output=True,
         )
+    if not os.path.exists(_LIB_PATH):
+        return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.ds_solve.restype = ctypes.c_int
     lib.ds_solve.argtypes = [

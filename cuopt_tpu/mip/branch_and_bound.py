@@ -140,12 +140,23 @@ class BranchAndBound:
         self._nnz_rows = np.repeat(
             np.arange(prob.n_constraints), np.diff(prob.offsets)
         )
+        # recent node relaxation solutions, harvested by the diversity
+        # loop for rounding + LP completion (dive-style primal moves)
+        from collections import deque
+
+        self.recent_x = deque(maxlen=8)
         # resumable search state (see _start/step/solve)
         self._started = False
         self._root_infeasible = False
         self._complete = False
         self._heap: list[_Node] = []
         self._pending: list[tuple[_Node, dict]] = []
+        # plunge stack: after branching, the preferred child is explored
+        # depth-first (warm bases, fast incumbent discovery) until it
+        # prunes; then selection falls back to best-first (reference
+        # B&B interleaves dives the same way)
+        self._dive: list[_Node] = []
+        self._plunge_tick = 0
         self._seq = 0
 
     def _node_bound(self, raw, node):
@@ -474,20 +485,42 @@ class BranchAndBound:
             return True
         prob = self.prob
         heap = self._heap
-        while heap or self._pending:
+        while heap or self._pending or self._dive:
             if timer.expired() or (halt is not None and halt.is_set()):
                 return True
             if deadline is not None and _time.monotonic() >= deadline:
                 return False  # suspended; resume with another step()
             if self.nodes_explored >= self.max_nodes:
                 return True
+            in_dive = False
             if self._pending:
                 node, raw = self._pending.pop(0)
                 if self.incumbent is not None and node.bound >= (
                     self.incumbent_obj - 1e-12
                 ):
                     continue  # pruned while waiting in the batch
+            elif self._dive:
+                node = self._dive.pop()
+                in_dive = True
+                if self.incumbent is not None and node.bound >= (
+                    self.incumbent_obj - 1e-12
+                ):
+                    continue  # plunge ends: child pruned by bound
+                raw = self._solve_relaxation(
+                    node.lv, node.uv, node.x_warm, node.y_warm,
+                    timer, effort=node.effort, vstat=node.vstat,
+                    deadline=deadline,
+                )
+                self.nodes_explored += 1
+            elif not heap:
+                break
             else:
+                # a fresh plunge starts from every 4th best-first pop:
+                # dives find incumbents (warm bases, rounding-preferred
+                # children), best-first pops raise the global bound —
+                # all-dive selection starved the bound side
+                self._plunge_tick += 1
+                in_dive = self._plunge_tick % 4 == 0
                 node = heapq.heappop(heap)
                 # best-first: heap top is the global bound
                 self.best_bound = max(self.best_bound, node.bound) \
@@ -555,6 +588,7 @@ class BranchAndBound:
             ):
                 continue  # prune by bound
             x = raw["primal_solution"]
+            self.recent_x.append(np.asarray(x, float))
             frac = np.abs(x - np.round(x))
             frac = np.where(self.is_int, frac, 0.0)
             j = self._select_branch_var(x, frac)
@@ -574,7 +608,10 @@ class BranchAndBound:
                     )
                     self.set_incumbent(xi, obj)
                 continue
-            # branch on the selected variable
+            # branch on the selected variable; the rounding-preferred
+            # child goes on the plunge stack (depth-first dive with a
+            # warm basis), the other to the best-first heap
+            prefer_down = frac[j] < 0.5
             for child_dir in ("down", "up"):
                 lv2 = node.lv.copy()
                 uv2 = node.uv.copy()
@@ -588,14 +625,20 @@ class BranchAndBound:
                 if pres.infeasible:
                     continue
                 self._seq += 1
-                heapq.heappush(heap, _Node(
+                child = _Node(
                     bound, self._seq, pres.lv, pres.uv,
                     x_warm=x, y_warm=raw["dual_solution"],
                     vstat=raw.get("vstat"),
                     depth=node.depth + 1,
                     branch_var=j, branch_up=(child_dir == "up"),
                     branch_frac=float(frac[j]),
-                ))
+                )
+                preferred = (child_dir == "down") == prefer_down
+                if preferred and in_dive and self.use_simplex and \
+                        len(self._dive) < 64:
+                    self._dive.append(child)
+                else:
+                    heapq.heappush(heap, child)
             if self._gap_closed():
                 return True
         return True  # heap + pending exhausted
@@ -613,7 +656,7 @@ class BranchAndBound:
             return self._result(C.CUOPT_TERIMINATION_STATUS_INFEASIBLE)
         complete = self._complete
         if self._started and not self._heap and not self._pending \
-                and self._lost_nodes == 0:
+                and not self._dive and self._lost_nodes == 0:
             # heap exhausted with no lost subtrees: search complete
             complete = True
             if self.incumbent is not None:

@@ -224,7 +224,19 @@ def fj_chunk(p: FjProblem, states: FjState, n_steps: int):
     return jax.vmap(one)(states)
 
 
-_FJ_BATCH = 9
+def _fj_batch_size(prob):
+    """Climber-batch size by per-step tensor volume: small problems are
+    dispatch-latency-bound on TPU (the move tensor is tiny), so extra
+    vmapped climbers are nearly free search throughput (50v-10: 9 -> 64
+    climbers was 12x more var-moves/s); big tensors are compute-bound
+    and keep a small batch."""
+    m = prob.n_variables
+    col_nnz = np.zeros(m, np.int64)
+    np.add.at(col_nnz, prob.indices, 1)
+    lc = max(int(col_nnz.max(initial=0)), 1)
+    k = 3 * lc + 2
+    elems = m * lc * k
+    return int(min(64, max(9, 4_000_000 // max(elems, 1))))
 
 
 class FjEngine:
@@ -252,8 +264,9 @@ class FjEngine:
         self.uv = np.asarray(prob.variable_upper_bounds, float)
         # mode spread over the climber batch: given starts at graded
         # objective weights, plus an "on-zero" pure-feasibility climber.
+        self.batch_size = _fj_batch_size(prob)
         weights = [obj_weight, 10 * obj_weight, 0.1 * obj_weight, 0.0]
-        x_starts = list(x_starts)[: _FJ_BATCH - 1]
+        x_starts = list(x_starts)[: self.batch_size - 1]
         states = [
             init_state(self.p, x0, seed + i, weights[i % len(weights)])
             for i, x0 in enumerate(x_starts)
@@ -263,7 +276,7 @@ class FjEngine:
             seed + len(states), 0.0,
         ))
         k = 0
-        while len(states) < _FJ_BATCH and x_starts:
+        while len(states) < self.batch_size and x_starts:
             states.append(init_state(
                 self.p, x_starts[k % len(x_starts)], seed + 101 + k,
                 weights[(k + 1) % len(weights)],
@@ -306,7 +319,9 @@ class FjEngine:
         x[pick] = np.clip(flip, lo, hi)
         return x
 
-    def reseed(self, x_inc, n_replace=3):
+    def reseed(self, x_inc, n_replace=None):
+        if n_replace is None:
+            n_replace = max(3, self.batch_size // 8)
         """Incumbent-aware restarts: replace the worst climbers with
         perturbations of the incumbent (fresh constraint weights), one
         exactly AT the incumbent — the diversity pressure the reference

@@ -181,23 +181,82 @@ def recombine(prob, xa, xb, rng, fj_budget_s=0.5, dtype="float64"):
 
 def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                        bnb=None, rng=None, dtype="float64",
-                       x_relax=None):
+                       x_relax=None, use_fj=True):
     """Evolutionary improvement loop (reference diversity_manager.cuh
     run_solver :42): recombine + line-segment search + callback polling,
     pushing improvements into the B&B (set_new_solution) until the
     deadline."""
     from cuopt_tpu.mip.feasibility_pump import line_segment_search
+    from cuopt_tpu.mip.rounding import lp_completion
 
     rng = rng or np.random.default_rng(0)
+    is_int = prob.variable_types == "I"
+    mixed = bool(is_int.any()) and not bool(is_int.all())
     t_end = time.monotonic() + deadline_s
+
+    def left():
+        return t_end - time.monotonic()
+
     rounds = 0
-    while time.monotonic() < t_end and not timer.expired():
+    while left() > 0 and not timer.expired():
         rounds += 1
         pop.poll_set_callbacks()
         pop.adapt_weight()
         improved = False
         pool, infeas_pool = pop.snapshot(6)
-        if len(pool) >= 2:
+        if mixed and bnb is not None and rounds % 2 == 0 and \
+                getattr(bnb, "recent_x", None) and left() > 0.3:
+            # dive completions: round + LP-complete recent B&B node
+            # relaxations — their integer patterns carry the tree's
+            # diversity (reference B&B node repair role)
+            try:
+                xn = bnb.recent_x.popleft()
+            except IndexError:
+                xn = None
+            if xn is not None:
+                xc, objc = lp_completion(
+                    prob, xn, timer, time_cap=min(2.0, left()),
+                )
+                if xc is not None:
+                    improved |= pop.add(xc)
+        if mixed and pool and rounds % 2 == 1 and left() > 0.3:
+            # local-branching completion: flip a few of the incumbent's
+            # binaries and LP-complete the pattern (the strongest primal
+            # move on mixed lot-sizing-style instances; reference
+            # relaxed_lp.cuh run_lp_with_vars_fixed role)
+            xb = pool[0][1].copy()
+            bins = np.where(
+                is_int
+                & (prob.variable_upper_bounds
+                   - prob.variable_lower_bounds <= 1.0 + 1e-9)
+                & np.isfinite(prob.variable_lower_bounds)
+                & np.isfinite(prob.variable_upper_bounds)
+            )[0]
+            if len(bins):
+                # graded neighborhood sizes: small flips exploit, large
+                # flips diversify (local-branching radius schedule)
+                k = int(rng.choice([1, 2, 4, 8, 16,
+                                    max(1, int(0.05 * len(bins)))]))
+                pick = rng.choice(bins, size=min(k, len(bins)),
+                                  replace=False)
+                xb[pick] = (prob.variable_lower_bounds[pick]
+                            + prob.variable_upper_bounds[pick]
+                            - xb[pick])
+            xc, objc = lp_completion(
+                prob, xb, timer, time_cap=min(2.0, left()),
+            )
+            if xc is not None:
+                improved |= pop.add(xc)
+        if pool and rounds % 3 == 0 and left() > 1.0 and \
+                not timer.expired():
+            # sub-MIP LNS: exact B&B over a RINS/mutation neighborhood
+            xs = submip_improve(
+                prob, pool[0][1], x_relax, rng, timer,
+                budget_s=min(4.0, left()),
+            )
+            if xs is not None:
+                improved |= pop.add(xs)
+        if use_fj and len(pool) >= 2 and left() > 0.2:
             i, j = rng.choice(len(pool), size=2, replace=False)
             xb = pool[j][1]
             # weight-ranked infeasible members feed recombination too —
@@ -211,8 +270,16 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                 dtype=dtype,
             )
             if child is not None:
+                if mixed:
+                    xc, _ = lp_completion(
+                        prob, child, timer,
+                        time_cap=min(2.0, max(t_end - time.monotonic(),
+                                              0.1)),
+                    )
+                    if xc is not None:
+                        child = xc
                 improved |= pop.add(child)
-        if x_relax is not None and pool:
+        if x_relax is not None and pool and left() > 0.1:
             x, obj, found = line_segment_search(
                 prob, x_relax, pool[0][1]
             )
@@ -223,8 +290,7 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
             # relaxation, bound-prop + FJ the disagreement set — the
             # reference's relaxed-LP-guided recombination
             # (diversity_manager.cuh + relaxed_lp.cuh roles)
-            if rounds % 3 == 1:
-                is_int = prob.variable_types == "I"
+            if use_fj and rounds % 3 == 1 and left() > 0.3:
                 xr_round = np.where(is_int, np.round(x_relax), x_relax)
                 child = recombine(
                     prob, pool[0][1], xr_round, rng,
@@ -234,8 +300,18 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                     dtype=dtype,
                 )
                 if child is not None:
+                    if mixed:
+                        xc, _ = lp_completion(
+                            prob, child, timer,
+                            time_cap=min(
+                                2.0,
+                                max(t_end - time.monotonic(), 0.1),
+                            ),
+                        )
+                        if xc is not None:
+                            child = xc
                     improved |= pop.add(child)
-        if infeas_pool and pool:
+        if infeas_pool and pool and left() > 0.1:
             # try pulling an infeasible candidate towards the best
             x, obj, found = line_segment_search(
                 prob, infeas_pool[0][1], pool[0][1],
@@ -255,3 +331,70 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
         if not improved and rounds > 4 and len(pool) < 2:
             break  # nothing to evolve
     return rounds
+
+
+def submip_improve(prob, x_inc, x_relax, rng, timer, budget_s=4.0,
+                   free_frac=0.2, settings=None):
+    """Large-neighborhood sub-MIP: fix most integers at the incumbent,
+    solve the remaining small MIP EXACTLY with the host B&B, and map the
+    result back (RINS when guided by the relaxation, mutation-LNS when
+    random) — the reference gets the same effect from its recombiners +
+    B&B repair (diversity_manager.cuh:49, relaxed_lp.cuh).
+
+    Returns an improved full-space x or None.
+    """
+    from cuopt_tpu.lp.settings import MIPSolverSettings
+    from cuopt_tpu.mip.branch_and_bound import BranchAndBound
+    from cuopt_tpu.mip.presolve import eliminate_fixed
+    from cuopt_tpu.utils.timer import Timer
+
+    is_int = prob.variable_types == "I"
+    idx_int = np.flatnonzero(is_int)
+    if len(idx_int) == 0:
+        return None
+    x_inc = np.asarray(x_inc, float)
+    xi = np.round(x_inc[idx_int])
+    if x_relax is not None and rng.uniform() < 0.5:
+        # RINS: free the integers that DISAGREE with the relaxation
+        xr = np.round(np.asarray(x_relax, float)[idx_int])
+        free = xi != xr
+        # pad with random frees up to the target fraction
+        want = max(int(free_frac * len(idx_int)), 8)
+        if free.sum() < want:
+            pool = np.flatnonzero(~free)
+            extra = rng.choice(pool, size=min(want - int(free.sum()),
+                                              len(pool)), replace=False)
+            free[extra] = True
+    else:
+        want = max(int(free_frac * len(idx_int)), 8)
+        free = np.zeros(len(idx_int), bool)
+        free[rng.choice(len(idx_int), size=min(want, len(idx_int)),
+                        replace=False)] = True
+    lv = prob.variable_lower_bounds.copy().astype(float)
+    uv = prob.variable_upper_bounds.copy().astype(float)
+    fix = idx_int[~free]
+    lv[fix] = uv[fix] = np.clip(np.round(x_inc[fix]), lv[fix], uv[fix])
+    red = eliminate_fixed(prob, lv, uv, 1e-9)
+    if red is None:
+        return None
+    sub = red.problem
+    s = settings or MIPSolverSettings()
+    bnb = BranchAndBound(sub, s)
+    x0 = red.project(x_inc)
+    from cuopt_tpu.mip.rounding import is_feasible as _feas
+
+    if _feas(sub, x0):
+        obj0 = float(sub.objective_coefficients @ x0
+                     + sub.objective_offset)
+        bnb.set_incumbent(x0, obj0)
+    t = Timer(min(budget_s, max(timer.remaining(), 0.2)))
+    try:
+        res = bnb.solve(t)
+    except Exception:
+        return None
+    if res.get("incumbent") is None:
+        return None
+    out = red.postsolve(res["incumbent"])
+    if not _feas(prob, out):
+        return None
+    return out

@@ -148,3 +148,77 @@ def bounds_repair_rounding(prob, x, max_rounds=50):
             return x
         x[j] = new
     return x
+
+
+def lp_completion(prob, x, timer=None, time_cap=5.0):
+    """Fix the integer variables at round(x) and solve the remaining LP
+    over the continuous variables EXACTLY (native dual simplex when it
+    fits, PDLP otherwise) — the optimal continuous completion of an
+    integer pattern. This is the work-horse primal move on
+    mixed-integer instances (lot-sizing etc.) where FJ's single-variable
+    jumps cannot set the continuous side well (the reference gets the
+    same effect from its relaxed-LP local search with integers fixed,
+    cpp/src/mip/relaxed_lp/relaxed_lp.cuh:50 `run_lp_with_vars_fixed`).
+
+    Returns (x_complete, objective) or (None, inf) when the pattern is
+    infeasible. `prob` must be in the internal minimize orientation.
+    """
+    import math
+
+    from cuopt_tpu import constants as C
+    from cuopt_tpu.lp.settings import PDLPSolverSettings
+
+    is_int = prob.variable_types == "I"
+    if not is_int.any() or is_int.all():
+        return None, math.inf
+    xi = np.round(np.asarray(x, float))
+    lv = np.where(is_int, np.clip(xi, prob.variable_lower_bounds,
+                                  prob.variable_upper_bounds),
+                  prob.variable_lower_bounds)
+    uv = np.where(is_int, lv, prob.variable_upper_bounds)
+    sub = type(prob)(
+        offsets=prob.offsets, indices=prob.indices, values=prob.values,
+        objective_coefficients=prob.objective_coefficients,
+        objective_offset=prob.objective_offset, maximize=False,
+        constraint_lower_bounds=prob.constraint_lower_bounds,
+        constraint_upper_bounds=prob.constraint_upper_bounds,
+        row_types=prob.row_types, rhs=prob.rhs,
+        variable_lower_bounds=lv, variable_upper_bounds=uv,
+        variable_types=prob.variable_types,
+    )
+    s = PDLPSolverSettings()
+    s.set_optimality_tolerance(1e-6)
+    s.detect_infeasibility = True
+    s.time_limit = min(
+        time_cap, timer.remaining() if timer is not None else time_cap
+    )
+    try:
+        fits = (prob.n_constraints <= 20_000
+                and prob.n_variables <= 40_000
+                and prob.nnz <= 2_000_000)
+        raw = None
+        if fits:
+            from cuopt_tpu.dual_simplex import is_available
+            from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
+
+            if is_available():
+                raw = solve_lp_simplex(sub, s, timer)
+        if raw is None or raw["status"] not in (
+            C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+            C.CUOPT_TERIMINATION_STATUS_INFEASIBLE,
+        ):
+            from cuopt_tpu.lp.pdlp import PdlpSolver
+
+            s.method = C.CUOPT_METHOD_PDLP
+            raw = PdlpSolver(sub, s).run()
+    except Exception:
+        return None, math.inf
+    if raw["status"] != C.CUOPT_TERIMINATION_STATUS_OPTIMAL:
+        return None, math.inf
+    xc = np.asarray(raw["primal_solution"], float)
+    xc = np.where(is_int, xi, xc)
+    if not is_feasible(prob, xc):
+        return None, math.inf
+    obj = float(prob.objective_coefficients @ xc
+                + prob.objective_offset)
+    return xc, obj

@@ -270,6 +270,9 @@ def _run_mip(prob, settings, timer, log):
 
     want_fj = m > 20 or incumbent is None
     dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
+    from cuopt_tpu.mip.rounding import lp_completion
+
+    mixed = bool(is_int.any()) and not bool(is_int.all())
 
     # The FJ engine runs CONTINUOUSLY in a background worker thread for
     # the whole solve: chunk-stepped climbers with incumbent-aware
@@ -300,6 +303,14 @@ def _run_mip(prob, settings, timer, log):
             objfj_total = objfj + float(pint.objective_offset)
             xfj = np.where(is_int, np.round(xfj), xfj)
             if is_feasible(pint, xfj):
+                # on mixed instances, the climber's continuous part is
+                # whatever the jumps left it at — the LP completion of
+                # its integer pattern is the exact best version
+                if mixed and not timer.expired():
+                    xc, objc = lp_completion(pint, xfj, timer,
+                                             time_cap=2.0)
+                    if xc is not None and objc < objfj_total:
+                        xfj, objfj_total = xc, objc
                 _push(xfj, objfj_total)
                 log.debug(
                     f"[{timer.elapsed():.1f}s] fj incumbent "
@@ -494,6 +505,22 @@ def _run_mip(prob, settings, timer, log):
             pop.add(xr)
             if obj < incumbent_obj:
                 incumbent, incumbent_obj = xr, obj
+    # mixed-integer instances: LP-complete the leading roundings (fix
+    # the integer pattern, solve the continuous LP exactly) — FJ's
+    # single-variable jumps cannot set the continuous side well
+    # (reference relaxed_lp.cuh:50 run_lp_with_vars_fixed)
+    if mixed:
+        for xr in relax_starts[:3]:
+            if timer.expired():
+                break
+            xc, objc = lp_completion(pint, xr, timer)
+            if xc is not None:
+                pop.add(xc)
+                if objc < incumbent_obj:
+                    incumbent, incumbent_obj = xc, objc
+                log.debug(
+                    f"[{timer.elapsed():.1f}s] lp completion {objc:.6g}"
+                )
     if pop.best is not None and pop.best[0] < incumbent_obj:
         incumbent_obj = pop.best[0]
         incumbent = pop.best[1]
@@ -575,15 +602,18 @@ def _run_mip(prob, settings, timer, log):
                     bnb_slice * heur_share / max(1 - heur_share, 1e-9),
                     max(timer.remaining(), 0.0),
                 )
-                # evolve only once the one-shot heuristics are done
-                # (their XLA compiles must not contend with ours) and a
-                # seed population exists
-                if heur_slice > 0.05 and heur_done.is_set() \
-                        and pop.best is not None:
+                # host-only moves (LP completions, line segments) run
+                # from the first slice; the FJ-based recombiners join
+                # once the engine's XLA compile is done (a cold remote
+                # compile can take minutes and must not gate the pure
+                # host heuristics — 50v-10 got ZERO diversity rounds in
+                # 90s this way)
+                if heur_slice > 0.05 and pop.best is not None:
                     run_diversity_loop(
                         pint, pop, timer, heur_slice, bnb=bnb,
                         rng=np.random.default_rng(slice_no),
                         dtype=settings.dtype, x_relax=x_relax,
+                        use_fj=heur_done.is_set(),
                     )
                 slice_no += 1
                 if pop.best is not None:
