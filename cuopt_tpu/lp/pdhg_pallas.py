@@ -49,6 +49,8 @@ def fused_pass_supported(op, dtype, interpret_ok: bool = True) -> bool:
 
     if not isinstance(op, BlockBandOp):
         return False
+    if getattr(op, "mesh", None) is not None:
+        return False  # sharded path: the halo-exchange shard_map SpMV
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if op.tile != 128 or any(s % 128 for s in op.row_starts):

@@ -224,6 +224,43 @@ def _use_fused(dev: DeviceProblem, dtype, cfg: StaticCfg) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _packed_sums(op, terms):
+    """jnp.sum of every term — in ONE all-reduce when the operator is
+    mesh-sharded.
+
+    On a mesh, each scalar reduction over a sharded vector emits its own
+    all-reduce under GSPMD; the step-size logic needs five of them per
+    PDHG step, which dominated the ICI latency model (11 collectives per
+    step in WEAKSCALING_r04). Here the local partial sums are stacked
+    into one K-vector and psum'd once (the reference's analogue keeps
+    these reductions inside one fused CUDA kernel,
+    adaptive_step_size_strategy.cu). Replicated terms (x-space vectors
+    when n doesn't divide the mesh) contribute sum/D so the psum
+    reproduces the plain sum."""
+    mesh = getattr(op, "mesh", None)
+    if mesh is None:
+        return [jnp.sum(t) for t in terms]
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    D = int(mesh.devices.size)
+    sharded = [int(t.shape[0]) % D == 0 for t in terms]
+    specs = tuple(P(axis) if sh else P() for sh in sharded)
+    scales = [1.0 if sh else 1.0 / D for sh in sharded]
+
+    def body(*ts):
+        parts = jnp.stack(
+            [jnp.sum(t) * sc for t, sc in zip(ts, scales)]
+        )
+        return jax.lax.psum(parts, axis)
+
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=specs, out_specs=P(),
+        check_vma=False,
+    )(*terms)
+    return [out[i] for i in range(len(terms))]
+
+
 def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
     """One PDHG step with Malitsky-Pock adaptive step size (reference
     pdlp.cu take_step :1188 + adaptive_step_size_strategy)."""
@@ -233,7 +270,8 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
     fused = _use_fused(dev, s.x.dtype, cfg)
 
     def attempt(carry):
-        eta, _, _, _, _, _, _, attempts = carry
+        eta = carry[0]
+        attempts = carry[7]
         tau = eta / omega
         sigma = eta * omega
         grad = dev.c - s.aty
@@ -255,6 +293,8 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
             interaction = jnp.abs(inter_raw)
             movement = 0.5 * omega * jnp.dot(dx, dx) + \
                 0.5 / omega * dy_dot
+            xx = jnp.dot(x_new, x_new)
+            yy = jnp.dot(y_new, y_new)
         else:
             ax_new = dev.op.matvec(x_new)
             ax_tilde = 2.0 * ax_new - s.ax
@@ -270,9 +310,16 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
             )
             aty_new = dev.op.rmatvec(y_new)
             dy = y_new - s.y
-            interaction = jnp.abs(jnp.dot(dy, ax_new - s.ax))
-            movement = 0.5 * omega * jnp.dot(dx, dx) + \
-                0.5 / omega * jnp.dot(dy, dy)
+            # ALL five scalar reductions of the step (movement dots,
+            # interaction, and the nonfinite sentinels) ride one fused
+            # all-reduce on a mesh
+            dxdx, xx, dydy, inter_raw, yy = _packed_sums(
+                dev.op,
+                [dx * dx, x_new * x_new, dy * dy,
+                 dy * (ax_new - s.ax), y_new * y_new],
+            )
+            interaction = jnp.abs(inter_raw)
+            movement = 0.5 * omega * dxdx + 0.5 / omega * dydy
         eta_limit = jnp.where(
             interaction > 0.0, movement / interaction, big
         )
@@ -287,17 +334,18 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
             (1.0 + k1 ** (-hp.growth_exponent)) * eta,
         )
         return (eta_next, x_new, y_new, ax_new, aty_new, eta, valid,
-                attempts + 1)
+                attempts + 1, xx, yy)
 
     def cond(carry):
-        _, _, _, _, _, _, valid, attempts = carry
+        valid, attempts = carry[6], carry[7]
         return jnp.logical_and(~valid, attempts < cfg.max_step_attempts)
 
+    zero = jnp.zeros((), s.x.dtype)
     init = attempt((s.step_size, s.x, s.y, s.ax, s.aty, s.step_size,
-                    jnp.asarray(False), jnp.asarray(0, jnp.int32)))
-    eta_next, x_new, y_new, ax_new, aty_new, eta_used, valid, attempts = (
-        jax.lax.while_loop(cond, attempt, init)
-    )
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                    zero, zero))
+    (eta_next, x_new, y_new, ax_new, aty_new, eta_used, valid, attempts,
+     xx_new, yy_new) = jax.lax.while_loop(cond, attempt, init)
     from cuopt_tpu.utils.tracing import debug_assert
 
     debug_assert(eta_next > 0.0, "PDHG step size must stay positive")
@@ -324,8 +372,7 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
         numerical_error=jnp.logical_or(
             s.numerical_error,
             jnp.logical_or(
-                ~jnp.isfinite(jnp.dot(x_new, x_new)),
-                ~jnp.isfinite(jnp.dot(y_new, y_new)),
+                ~jnp.isfinite(xx_new), ~jnp.isfinite(yy_new),
             ),
         ),
     )
