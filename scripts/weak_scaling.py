@@ -222,11 +222,22 @@ def analyze_hlo(n_dev=8, rows_per_dev=4096, band=256):
     per_dev_slab = slab_bytes // n_dev
     n_coll_total = sum(colls.values())
     n_body = sum(body_colls.values())
-    # per step: loop-body collectives + entry-level ops amortized
-    coll_per_step = n_body + (n_coll_total - n_body) / max(majors, 1)
-    comm_per_step = body_bytes + (byte_total - body_bytes) / max(
-        majors, 1
-    )
+    # The take_step attempt body appears TWICE in the HLO (the loop-init
+    # attempt inlined in the steps-loop body + the retry while body),
+    # but per executed step only `attempts_per_step` of those run —
+    # Malitsky-Pock accepts the first attempt on almost every step.
+    # Measure the real rate from a short sharded run.
+    st2, _ = fn(dev_s, state_s)
+    jax.block_until_ready(st2)
+    steps2 = max(int(st2.total_steps) - int(state_s.total_steps), 1)
+    att2 = max(int(st2.total_attempts) - int(state_s.total_attempts),
+               steps2)
+    attempts_per_step = att2 / steps2
+    per_site = n_body / 2
+    coll_per_step = per_site * attempts_per_step + \
+        (n_coll_total - n_body) / max(majors, 1)
+    comm_per_step = (body_bytes / 2) * attempts_per_step + \
+        (byte_total - body_bytes) / max(majors, 1)
     # v5e-class: HBM ~819e9 B/s per chip, ICI ~4.5e10 B/s per direction.
     # Comm time = bandwidth term + LATENCY term (the r03 model ignored
     # latency and was refuted by its own permute counts). Hop counts by
