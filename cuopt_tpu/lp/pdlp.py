@@ -1035,6 +1035,13 @@ class PdlpSolver:
                         "dual_infeasible")
         _INFO_KEYS = ("primal_obj", "dual_obj", "gap",
                       "l2_primal_res", "l2_dual_res")
+        # compile/solve split: time-to-first-major-return includes the
+        # device problem build + XLA compile (VERDICT r04 #10: the 275s
+        # cold compile was invisible inside headline solve times)
+        import time as _time
+
+        t_run0 = _time.perf_counter()
+        t_first_major = None
         while True:
             state, report = self.major_fn(dev, state)
             # ONE host transfer for ALL per-major scalars: each separate
@@ -1048,6 +1055,8 @@ class PdlpSolver:
                 + [jnp.asarray(report["info_cur"][k], jnp.float64)
                    for k in _INFO_KEYS]
             ))
+            if t_first_major is None:
+                t_first_major = _time.perf_counter() - t_run0
             (f_opt_cur, f_opt_avg, f_num, f_steps, f_pinf, f_dinf,
              v_pobj, v_dobj, v_gap, v_rp, v_rd) = packed
             opt_cur = bool(f_opt_cur)
@@ -1146,6 +1155,12 @@ class PdlpSolver:
             "l2_dual_residual": float(info["l2_dual_res"]),
             "linf_primal_residual": float(info["linf_primal_res"]),
             "linf_dual_residual": float(info["linf_dual_res"]),
+            # time to the first major's return = problem build + XLA
+            # compile (+1 warm major); the iteration loop is the rest
+            "compile_s": round(t_first_major or 0.0, 4),
+            "solve_loop_s": round(
+                max(timer.elapsed() - (t_first_major or 0.0), 0.0), 4
+            ),
         }
         if settings.save_best_primal_so_far and best_primal is not None \
                 and best_primal[0] < sol["primal_objective"]:

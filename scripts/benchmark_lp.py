@@ -62,6 +62,12 @@ def solve_one(path, time_limit, tol, method):
         "objective": float(sol.get_primal_objective()),
         "solve_s": round(elapsed, 2),
     }
+    raw = getattr(sol, "_raw", {})
+    if raw.get("compile_s") is not None:
+        # compile/solve split (VERDICT r04 #10): solve_s above mixes the
+        # XLA compile into the wall time; these separate them
+        out["compile_s"] = raw["compile_s"]
+        out["solve_loop_s"] = raw.get("solve_loop_s")
     if is_mip:
         try:
             out["solution_bound"] = float(sol.get_solution_bound())

@@ -74,6 +74,8 @@ def solve_one(prob, label, tol):
         "iterations": iters,
         "wall_s_cold": round(wall, 2),
         "wall_s": round(warm, 2),
+        "compile_s": raw.get("compile_s"),
+        "solve_loop_s": raw.get("solve_loop_s"),
         "iters_per_s": round(iters / max(warm, 1e-9), 1),
         "solved_by": raw.get("solved_by"),
         "device_memory": _mem_stats(),
