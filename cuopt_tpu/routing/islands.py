@@ -157,8 +157,9 @@ def solution_cost_device(p: LsProblem, R, lens):
         [p.veh_start[:, None], locs_mid, p.veh_return[:, None]], axis=1
     )
     fvec = jnp.arange(F)
-    cmat = p.cost_mats[p.veh_ti]
-    c_arc = cmat[fvec[:, None], locs[:, :-1], locs[:, 1:]]  # (F, L+1)
+    c_arc = p.cost_mats[
+        p.veh_ti[:, None], locs[:, :-1], locs[:, 1:]
+    ]  # (F, L+1) — type-indexed, no (F, n, n) copy
     pos = jnp.arange(L + 1)
     keep = pos[None] <= lens[:, None]
     # terminal legs: first (pos 0) priced unless skip_first; the leg at

@@ -58,9 +58,14 @@ class LsProblem:
     # discarded by the host recheck on constrained instances (reference
     # carries these as route dimensions, route/route.cuh:29)
     veh_max_cost: jax.Array  # (F,)
+    # per-order prize (0 where none); prize orders are optional, so LS
+    # scores drop moves (prize < removal saving) in-tensor (reference
+    # prize-collection move families, local_search.cuh:102-160)
+    prize: jax.Array  # (n_serve,)
     has_tw: bool = struct.field(pytree_node=False)
     allow_2opt: bool = struct.field(pytree_node=False)
     has_max_cost: bool = struct.field(pytree_node=False, default=False)
+    has_prize: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
@@ -110,9 +115,14 @@ def build_ls_problem(prob, dtype=jnp.float32) -> LsProblem:
         skip_first=jnp.asarray(prob.skip_first, bool),
         drop_return=jnp.asarray(prob.drop_return, bool),
         veh_max_cost=jnp.asarray(clip(prob.veh_max_cost), dtype),
+        prize=jnp.asarray(
+            prob.prizes if prob.prizes is not None
+            else np.zeros(prob.n_serve), dtype,
+        ),
         has_tw=has_tw,
         allow_2opt=bool(sym) and not has_tw,
         has_max_cost=has_max_cost,
+        has_prize=prob.prizes is not None,
     )
 
 
@@ -146,10 +156,12 @@ def _route_tensors(p: LsProblem, R, lens):
          jnp.zeros((F, 1), dtype)], axis=1,
     )
     ti = p.veh_ti  # (F,)
-    tmat = p.time_mats[ti]  # (F, L, L) gathered per vehicle
-    cmat = p.cost_mats[ti]
+    # NOTE: cost/time matrices stay (T, n_loc, n_loc) and every lookup
+    # indexes by TYPE (ti[f]) — materializing per-vehicle copies
+    # (p.cost_mats[ti] -> (F, n, n)) was a 27 GB broadcast at 4,000
+    # orders (VERDICT r04 #6: no memory plan past 1,000)
     # arc times between consecutive augmented positions
-    t_arc = tmat[jnp.arange(F)[:, None], locs[:, :-1], locs[:, 1:]]
+    t_arc = p.time_mats[ti[:, None], locs[:, :-1], locs[:, 1:]]
     # forward pass: arrival/departure via scan over positions
     def fwd(dep_prev, inputs):
         t_in, e_in, s_in = inputs
@@ -183,7 +195,7 @@ def _route_tensors(p: LsProblem, R, lens):
     load = jnp.sum(
         jnp.where(valid[None], p.demand[:, Rc], 0.0), axis=2
     )  # (ndim, F)
-    return locs, arr, dep, lat, load, cmat, tmat, valid
+    return locs, arr, dep, lat, load, ti, valid
 
 
 def _onehot_cols(loc_flat, n_loc, dtype):
@@ -197,11 +209,15 @@ def _onehot_cols(loc_flat, n_loc, dtype):
             jnp.arange(n_loc)[None, :]).astype(dtype)
 
 
-def _pair_costs(mats, row_loc, onehot_u, transpose=False):
-    """mats[f, a, b] looked up at (row_loc[f, j], u) for every u.
+def _pair_costs(mats, ti, row_loc, onehot_u, transpose=False):
+    """mats[ti[f], a, b] looked up at (row_loc[f, j], u) for every u.
+
+    `mats` is the (T, n_loc, n_loc) per-TYPE matrix — lookups index by
+    vehicle type so no (F, n_loc, n_loc) copy ever materializes (27 GB
+    at 4,000 orders).
 
     On TPU: a contiguous ROW gather builds tab[f, j, :] =
-    mats[f, row_loc[f, j], :] (or the b-indexed column gather when
+    mats[ti[f], row_loc[f, j], :] (or the column-indexed variant when
     `transpose`), then one f32-HIGHEST matmul with the one-hot selects
     the u column — TPU element gathers cost ~30 ns each (~2 s per LS
     round at 1,000 orders, r04 measurement) while the equivalent
@@ -210,23 +226,15 @@ def _pair_costs(mats, row_loc, onehot_u, transpose=False):
     faster (the CPU routing-scale bench regressed 11.6 -> 18.1 s
     construction under the matmul form)."""
     if onehot_u.ndim == 1:  # raw indices: direct element gather
-        F = mats.shape[0]
-        fvec = jnp.arange(F)
         if transpose:
-            return mats[fvec[:, None, None], onehot_u[None, None, :],
+            return mats[ti[:, None, None], onehot_u[None, None, :],
                         row_loc[:, :, None]]
-        return mats[fvec[:, None, None], row_loc[:, :, None],
+        return mats[ti[:, None, None], row_loc[:, :, None],
                     onehot_u[None, None, :]]
     if transpose:
-        # tab[f, j, loc] = mats[f, loc, row_loc[f, j]]
-        tab = jnp.take_along_axis(
-            mats, row_loc[:, None, :], axis=2
-        )  # (F, n_loc, L1)
-        tab = jnp.swapaxes(tab, 1, 2)  # (F, L1, n_loc)
-    else:
-        tab = jnp.take_along_axis(
-            mats, row_loc[:, :, None], axis=1
-        )  # (F, L1, n_loc)
+        # tab[f, j, loc] = mats[ti[f], loc, row_loc[f, j]]
+        mats = jnp.swapaxes(mats, 1, 2)
+    tab = mats[ti[:, None], row_loc]  # (F, L1, n_loc)
     return jnp.einsum(
         "fjn,un->fju", tab, onehot_u,
         precision=jax.lax.Precision.HIGHEST,
@@ -237,16 +245,17 @@ def _move_scores(p: LsProblem, R, lens):
     """Score all candidate moves; returns the five dense score tensors
     (relocate, swap, 2-opt, 2-opt*, or-opt2), masked-invalid = BIG."""
     F, L = R.shape
-    locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
+    locs, arr, dep, lat, load, ti, valid = _route_tensors(
         p, R, lens
     )
+    cmat, tmat = p.cost_mats, p.time_mats  # (T, n, n), type-indexed
     Rc = jnp.where(valid, R, 0)
     fvec = jnp.arange(F)
 
     # per-route current arc cost, for max-route-cost move dimensions
     if p.has_max_cost:
         pos_arc = jnp.arange(L + 1)
-        c_arc = cmat[fvec[:, None], locs[:, :-1], locs[:, 1:]]
+        c_arc = cmat[ti[:, None], locs[:, :-1], locs[:, 1:]]
         c_arc = jnp.where(pos_arc[None] <= lens[:, None], c_arc, 0.0)
         c_arc = jnp.where((lens > 0)[:, None], c_arc, 0.0)  # (F, L+1)
         ccost = jnp.sum(c_arc, axis=1)                      # (F,)
@@ -263,8 +272,8 @@ def _move_scores(p: LsProblem, R, lens):
     prev_loc = locs[ar, pos]          # predecessor of order at i
     u_loc = locs[ar, pos + 1]
     next_loc = locs[ar, pos + 2]
-    c_r1 = cmat[ar, prev_loc, u_loc] + cmat[ar, u_loc, next_loc] - \
-        cmat[ar, prev_loc, next_loc]  # (F, L) removal saving
+    c_r1 = cmat[ti[ar], prev_loc, u_loc] + cmat[ti[ar], u_loc, next_loc] - \
+        cmat[ti[ar], prev_loc, next_loc]  # (F, L) removal saving
     u_ids = Rc  # (F, L)
     u_dem = p.demand[:, u_ids]  # (ndim, F, L)
     u_movable = valid & p.movable[u_ids]
@@ -276,13 +285,12 @@ def _move_scores(p: LsProblem, R, lens):
     # cost tensors: (F2, L+1, F1, L) -> use broadcasting:
     # ins_cost[r2, j, u] = c2(q_j, loc_u) + c2(loc_u, q_{j+1}) - c2(q_j,q_{j+1})
     u_loc_flat = p.order_loc[Rc]  # (F, L)
-    cm2 = cmat  # (F, L, L) per-vehicle matrices
     n_loc = cmat.shape[1]
     onehot_u = _onehot_cols(u_loc_flat.reshape(-1), n_loc, cmat.dtype)
-    cA = _pair_costs(cmat, q_loc, onehot_u).reshape(F, L + 1, F, L)
-    cB = _pair_costs(cmat, qn_loc, onehot_u,
+    cA = _pair_costs(cmat, ti, q_loc, onehot_u).reshape(F, L + 1, F, L)
+    cB = _pair_costs(cmat, ti, qn_loc, onehot_u,
                      transpose=True).reshape(F, L + 1, F, L)
-    cC = cm2[fvec[:, None], q_loc, qn_loc][:, :, None, None]
+    cC = cmat[ti[:, None], q_loc, qn_loc][:, :, None, None]
     ins_cost = cA + cB - cC  # (F2, L+1, F1, L)
 
     reloc_delta = ins_cost - c_r1[None, None, :, :]
@@ -297,9 +305,8 @@ def _move_scores(p: LsProblem, R, lens):
     allowed_ok = p.allowed[Rc][:, :, :]  # (F1, L, F2)
     allowed_ok = jnp.transpose(allowed_ok, (2, 0, 1))  # (F2, F1, L)
     if p.has_tw:
-        t2 = tmat  # (F2, L, L)
-        tA = _pair_costs(tmat, q_loc, onehot_u).reshape(F, L + 1, F, L)
-        tB = _pair_costs(tmat, qn_loc, onehot_u,
+        tA = _pair_costs(tmat, ti, q_loc, onehot_u).reshape(F, L + 1, F, L)
+        tB = _pair_costs(tmat, ti, qn_loc, onehot_u,
                          transpose=True).reshape(F, L + 1, F, L)
         dep_slot = dep[:, :L + 1]  # (F2, L+1) departure at slot pred
         arr_u = jnp.maximum(
@@ -346,11 +353,11 @@ def _move_scores(p: LsProblem, R, lens):
     # replacing u by w at (r1, i): delta1 = c1(prev,w)+c1(w,next)-c1(prev,u)-c1(u,next)
     w_loc = u_loc_flat  # alias for clarity
     d_in = (
-        _pair_costs(cmat, prev_loc, onehot_u).reshape(F, L, F, L)
-        + _pair_costs(cmat, next_loc, onehot_u,
+        _pair_costs(cmat, ti, prev_loc, onehot_u).reshape(F, L, F, L)
+        + _pair_costs(cmat, ti, next_loc, onehot_u,
                       transpose=True).reshape(F, L, F, L)
-        - (cmat[ar, prev_loc, u_loc]
-           + cmat[ar, u_loc, next_loc])[:, :, None, None]
+        - (cmat[ti[ar], prev_loc, u_loc]
+           + cmat[ti[ar], u_loc, next_loc])[:, :, None, None]
     )  # (F1, L_i, F2, L_k): cost change in r1 when w replaces u
     swap_delta = d_in + jnp.transpose(d_in, (2, 3, 0, 1))
 
@@ -373,7 +380,7 @@ def _move_scores(p: LsProblem, R, lens):
         tw_in = (
             jnp.maximum(
                 dep[:, :L][:, :, None, None]
-                + _pair_costs(tmat, prev_loc,
+                + _pair_costs(tmat, ti, prev_loc,
                               onehot_u).reshape(F, L, F, L),
                 p.e[Rc][None, None],
             )
@@ -381,7 +388,7 @@ def _move_scores(p: LsProblem, R, lens):
         ok_w = tw_in <= p.l[Rc][None, None] + 1e-6
         ok_wn = (
             tw_in + p.s[Rc][None, None]
-            + _pair_costs(tmat, next_loc, onehot_u,
+            + _pair_costs(tmat, ti, next_loc, onehot_u,
                           transpose=True).reshape(F, L, F, L)
             <= lat[:, 2:L + 2][:, :, None, None] + 1e-6
         )
@@ -420,10 +427,10 @@ def _move_scores(p: LsProblem, R, lens):
         pk = locs[fvec[:, None, None], k_idx + 1]
         pk_next = locs[fvec[:, None, None], k_idx + 2]
         two_delta = (
-            cmat[fvec[:, None, None], pi_prev, pk]
-            + cmat[fvec[:, None, None], pi, pk_next]
-            - cmat[fvec[:, None, None], pi_prev, pi]
-            - cmat[fvec[:, None, None], pk, pk_next]
+            cmat[ti[:, None, None], pi_prev, pk]
+            + cmat[ti[:, None, None], pi, pk_next]
+            - cmat[ti[:, None, None], pi_prev, pi]
+            - cmat[ti[:, None, None], pk, pk_next]
         )
         two_mask = (
             (i_idx < k_idx)
@@ -478,7 +485,7 @@ def _move_scores(p: LsProblem, R, lens):
     # the fictitious arc of a route that is empty before (lens==0) or
     # after (n_new==0) the exchange is zeroed rather than priced.
     onehot_vs = _onehot_cols(v_succ.reshape(-1), n_loc, cmat.dtype)
-    cross_a = _pair_costs(cmat, u_cut, onehot_vs).reshape(
+    cross_a = _pair_costs(cmat, ti, u_cut, onehot_vs).reshape(
         F, L + 1, F, L + 1
     )  # [f, i, f', k] = c_f(u_cut[f,i], v_succ[f',k])
     new1 = jnp.where(n1_new == 0, 0.0, cross_a)
@@ -488,11 +495,11 @@ def _move_scores(p: LsProblem, R, lens):
     )
     old1 = jnp.where(
         lens[:, None, None, None] == 0, 0.0,
-        cmat[f1, u_cut[:, :, None, None], v_succ[:, :, None, None]],
+        cmat[ti[f1], u_cut[:, :, None, None], v_succ[:, :, None, None]],
     )
     old2 = jnp.where(
         lens[None, None, :, None] == 0, 0.0,
-        cmat[f2, u_cut[None, None], v_succ[None, None]],
+        cmat[ti[f2], u_cut[None, None], v_succ[None, None]],
     )
     ts_delta = new1 + new2 - old1 - old2  # (F1, L+1, F2, L+1)
     # fixed-cost change from routes opening/closing
@@ -521,7 +528,7 @@ def _move_scores(p: LsProblem, R, lens):
     )  # (F1, L+1, F2, L+1)
     cap2_ok = jnp.transpose(cap1_ok, (2, 3, 0, 1))
     if p.has_tw:
-        t_cross_a = _pair_costs(tmat, u_cut, onehot_vs).reshape(
+        t_cross_a = _pair_costs(tmat, ti, u_cut, onehot_vs).reshape(
             F, L + 1, F, L + 1
         )
         t_cross1 = t_cross_a
@@ -578,8 +585,8 @@ def _move_scores(p: LsProblem, R, lens):
     uB = locs[ar, uB_idx]                          # second seg loc
     uNext = locs[ar, uN_idx]                       # successor of segment
     rem_save = (
-        cmat[ar, prev_loc, uA] + cmat[ar, uA, uB] + cmat[ar, uB, uNext]
-        - cmat[ar, prev_loc, uNext]
+        cmat[ti[ar], prev_loc, uA] + cmat[ti[ar], uA, uB] + cmat[ti[ar], uB, uNext]
+        - cmat[ti[ar], prev_loc, uNext]
     )  # (F1, L)
     idsA, idsB = Rc, jnp.roll(Rc, -1, axis=1)
     locA = p.order_loc[idsA]
@@ -590,8 +597,8 @@ def _move_scores(p: LsProblem, R, lens):
     oA = cA
     # oI[f2, j, f1, i] = c_{f2}(locA[f1,i], locB[f1,i]): a per-(f2, u)
     # element gather (F x F x L, ~300k entries) broadcast over j
-    oI = cm2[fvec[:, None, None], locA[None], locB[None]][:, None]
-    oB = _pair_costs(cmat, qn_loc, onehot_locB,
+    oI = cmat[ti[:, None, None], locA[None], locB[None]][:, None]
+    oB = _pair_costs(cmat, ti, qn_loc, onehot_locB,
                      transpose=True).reshape(F, L + 1, F, L)
     oro_delta = oA + oI + oB - cC - rem_save[None, None]
     seg_dem = p.demand[:, idsA] + jnp.where(
@@ -611,8 +618,8 @@ def _move_scores(p: LsProblem, R, lens):
     alw_seg_t = jnp.transpose(alw_seg, (2, 0, 1))  # (F2, F1, L)
     if p.has_tw:
         tA_ = tA  # identical index structure (locA == u_loc_flat)
-        tI_ = t2[fvec[:, None, None], locA[None], locB[None]][:, None]
-        tB_ = _pair_costs(tmat, qn_loc, onehot_locB,
+        tI_ = tmat[ti[:, None, None], locA[None], locB[None]][:, None]
+        tB_ = _pair_costs(tmat, ti, qn_loc, onehot_locB,
                           transpose=True).reshape(F, L + 1, F, L)
         eA = p.e[idsA][None, None]
         lA = p.l[idsA][None, None]
@@ -720,9 +727,10 @@ def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
     program covers all (candidate, route, slot) triples with O(1) TW
     feasibility from the forward/backward route cumulations)."""
     F, L = R.shape
-    locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
+    locs, arr, dep, lat, load, ti, valid = _route_tensors(
         p, R, lens
     )
+    cmat, tmat = p.cost_mats, p.time_mats  # (T, n, n), type-indexed
     cand = jnp.asarray(cand_ids, jnp.int32)  # (P,)
     u_loc = p.order_loc[cand]                # (P,)
     slot = jnp.arange(L + 1)
@@ -732,12 +740,12 @@ def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
     n_loc = cmat.shape[1]
     onehot_p = _onehot_cols(u_loc, n_loc, cmat.dtype)  # (P, n_loc)
     cA = jnp.transpose(
-        _pair_costs(cmat, q_loc, onehot_p), (2, 0, 1)
+        _pair_costs(cmat, ti, q_loc, onehot_p), (2, 0, 1)
     )  # (P, F, L+1)
     cB = jnp.transpose(
-        _pair_costs(cmat, qn_loc, onehot_p, transpose=True), (2, 0, 1)
+        _pair_costs(cmat, ti, qn_loc, onehot_p, transpose=True), (2, 0, 1)
     )
-    cC = cmat[fvec[:, None], q_loc, qn_loc][None]
+    cC = cmat[ti[:, None], q_loc, qn_loc][None]
     delta = cA + cB - cC                     # (P, F, L+1)
     # opening an empty route pays its fixed cost
     delta = delta + jnp.where(lens == 0, p.veh_fixed, 0.0)[None, :, None]
@@ -751,10 +759,10 @@ def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
     allowed_ok = p.allowed[cand]                       # (P, F)
     if p.has_tw:
         tA = jnp.transpose(
-            _pair_costs(tmat, q_loc, onehot_p), (2, 0, 1)
+            _pair_costs(tmat, ti, q_loc, onehot_p), (2, 0, 1)
         )
         tB = jnp.transpose(
-            _pair_costs(tmat, qn_loc, onehot_p, transpose=True),
+            _pair_costs(tmat, ti, qn_loc, onehot_p, transpose=True),
             (2, 0, 1),
         )
         dep_slot = dep[:, :L + 1]
@@ -773,7 +781,7 @@ def evaluate_insertions(p: LsProblem, R, lens, cand_ids):
     )
     if p.has_max_cost:
         pos_arc = jnp.arange(L + 1)
-        c_arc = cmat[fvec[:, None], locs[:, :-1], locs[:, 1:]]
+        c_arc = cmat[ti[:, None], locs[:, :-1], locs[:, 1:]]
         c_arc = jnp.where(pos_arc[None] <= lens[:, None], c_arc, 0.0)
         c_arc = jnp.where((lens > 0)[:, None], c_arc, 0.0)
         ccost = jnp.sum(c_arc, axis=1)
@@ -879,9 +887,10 @@ def evaluate_cycle_gains(p: LsProblem, R, lens):
     (F, F) matrix runs on host (F is small).
     """
     F, L = R.shape
-    locs, arr, dep, lat, load, cmat, tmat, valid = _route_tensors(
+    locs, arr, dep, lat, load, ti, valid = _route_tensors(
         p, R, lens
     )
+    cmat, tmat = p.cost_mats, p.time_mats  # (T, n, n), type-indexed
     Rc = jnp.where(valid, R, 0)
     fvec = jnp.arange(F)
     ar = fvec[:, None]
@@ -889,16 +898,16 @@ def evaluate_cycle_gains(p: LsProblem, R, lens):
     prev_loc = locs[ar, pos]
     u_loc = locs[ar, pos + 1]
     next_loc = locs[ar, pos + 2]
-    c_rem = cmat[ar, prev_loc, u_loc] + cmat[ar, u_loc, next_loc] - \
-        cmat[ar, prev_loc, next_loc]          # (F1, L) removal saving
+    c_rem = cmat[ti[ar], prev_loc, u_loc] + cmat[ti[ar], u_loc, next_loc] - \
+        cmat[ti[ar], prev_loc, next_loc]          # (F1, L) removal saving
     u_loc_flat = p.order_loc[Rc]
     q_loc = locs[:, :L + 1]
     qn_loc = locs[:, 1:L + 2]
-    cA = cmat[fvec[:, None, None, None], q_loc[:, :, None, None],
+    cA = cmat[ti[:, None, None, None], q_loc[:, :, None, None],
               u_loc_flat[None, None]]
-    cB = cmat[fvec[:, None, None, None], u_loc_flat[None, None],
+    cB = cmat[ti[:, None, None, None], u_loc_flat[None, None],
               qn_loc[:, :, None, None]]
-    cC = cmat[fvec[:, None], q_loc, qn_loc][:, :, None, None]
+    cC = cmat[ti[:, None], q_loc, qn_loc][:, :, None, None]
     ins = cA + cB - cC                        # (F2, L+1, F1, L)
     delta = ins - c_rem[None, None]
 
@@ -916,11 +925,10 @@ def evaluate_cycle_gains(p: LsProblem, R, lens):
     allowed_ok = jnp.transpose(p.allowed[Rc], (2, 0, 1))
     slot_ok = (jnp.arange(L + 1)[None, :] <= lens[:, None])
     if p.has_tw:
-        t2 = tmat
-        tA = t2[fvec[:, None, None, None], q_loc[:, :, None, None],
-                u_loc_flat[None, None]]
-        tB = t2[fvec[:, None, None, None], u_loc_flat[None, None],
-                qn_loc[:, :, None, None]]
+        tA = tmat[ti[:, None, None, None], q_loc[:, :, None, None],
+                  u_loc_flat[None, None]]
+        tB = tmat[ti[:, None, None, None], u_loc_flat[None, None],
+                  qn_loc[:, :, None, None]]
         dep_slot = dep[:, :L + 1]
         arr_u = jnp.maximum(
             dep_slot[:, :, None, None] + tA, p.e[Rc][None, None]
@@ -968,9 +976,9 @@ def evaluate_vehicle_reassign(p: LsProblem, R, lens):
     # order locations per route position; terminal locs PER VEHICLE v2
     locs_mid = p.order_loc[Rc]                     # (F1, L)
     ti = p.veh_ti
-    tmat = p.time_mats[ti]                         # (F2, L, L)
-    cmat = p.cost_mats[ti]
-    v2 = jnp.arange(F)[:, None, None]              # vehicle axis
+    tmat = p.time_mats                             # (T, n, n) by type
+    cmat = p.cost_mats
+    v2 = ti[jnp.arange(F)][:, None, None]          # type per vehicle
     start2 = p.veh_start[:, None, None]            # (F2, 1, 1)
     ret2 = p.veh_return[:, None, None]
     # augmented location sequence under vehicle v2: (F2, F1, L+2)
@@ -1028,3 +1036,54 @@ def evaluate_vehicle_reassign(p: LsProblem, R, lens):
     cost = cost + jnp.where(nonempty, p.veh_fixed[:, None], 0.0)
     feasible = ok & cap_ok & alw_ok & nonempty
     return jnp.where(feasible, cost, BIG), feasible
+
+
+def subset_ls_problem(p: LsProblem, idx) -> LsProblem:
+    """Route-subset view: gather every per-vehicle field at `idx` so the
+    all-pairs evaluators run on a GROUP of routes (the large-instance
+    tiling — all-pairs tensors are O((F*L)^2) and stop fitting around
+    2-4k orders; the reference tiles move generation over neighborhoods
+    instead, local_search.cuh:102). Order-space fields are unchanged, so
+    move encodings index into the subset and map back through `idx`."""
+    idx = jnp.asarray(idx, jnp.int32)
+    return p.replace(
+        capacity=p.capacity[:, idx],
+        veh_ti=p.veh_ti[idx],
+        veh_start=p.veh_start[idx],
+        veh_return=p.veh_return[idx],
+        veh_tw_early=p.veh_tw_early[idx],
+        veh_tw_late=p.veh_tw_late[idx],
+        veh_fixed=p.veh_fixed[idx],
+        veh_max_cost=p.veh_max_cost[idx],
+        skip_first=p.skip_first[idx],
+        drop_return=p.drop_return[idx],
+        allowed=p.allowed[:, idx],
+    )
+
+
+@jax.jit
+def evaluate_prize_drops(p: LsProblem, R, lens):
+    """(F, L) net objective change of dropping each served order:
+    prize[u] - (removal arc saving + any fixed-cost close). Negative =
+    improving for the prize objective (cost - collected prizes); BIG
+    where invalid. The reference scores order drop/pickup inside its LS
+    candidate tensors (local_search.cuh:102-160 prize collection)."""
+    F, L = R.shape
+    locs, arr, dep, lat, load, ti, valid = _route_tensors(p, R, lens)
+    cmat = p.cost_mats
+    Rc = jnp.where(valid, R, 0)
+    fvec = jnp.arange(F)
+    ar = fvec[:, None]
+    pos = jnp.arange(L)
+    prev_loc = locs[ar, pos]
+    u_loc = locs[ar, pos + 1]
+    next_loc = locs[ar, pos + 2]
+    saving = (
+        cmat[ti[ar], prev_loc, u_loc]
+        + cmat[ti[ar], u_loc, next_loc]
+        - cmat[ti[ar], prev_loc, next_loc]
+    )
+    close = jnp.where(lens == 1, p.veh_fixed, 0.0)
+    delta = p.prize[Rc] - saving - close[:, None]
+    mask = valid & p.movable[Rc]
+    return jnp.where(mask, delta, BIG)

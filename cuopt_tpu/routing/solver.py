@@ -89,23 +89,148 @@ def _pad_len(routes) -> int:
     return max(8, ((longest + 4 + 7) // 8) * 8)
 
 
-def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
+_LS_GROUP = 64  # routes per all-pairs evaluation tile at scale
+
+
+def _grouped_moves(prob, lsp, R, lens, round_no, group=_LS_GROUP):
+    """Large-fleet tiling: the all-pairs move tensors are O((F*L)^2) and
+    stop fitting around 2-4k orders, so the fleet is partitioned into
+    balanced groups of `group` NEARBY routes (centroids projected on a
+    per-round random direction, sorted, chunked — nearby routes land in
+    the same tile, and the rotating direction varies the pairings every
+    round) and the unchanged evaluator runs once per tile with ONE
+    compiled program (fixed shapes). The reference tiles its move
+    generation over neighborhoods the same way
+    (local_search/move_candidates/). Returns the concatenated candidate
+    rows with route indices mapped back to fleet space."""
+    from cuopt_tpu.routing.local_search import (
+        evaluate_moves_topk,
+        subset_ls_problem,
+    )
+
+    F = R.shape[0]
+    rng = np.random.default_rng(1009 * (round_no + 1))
+    cost = np.asarray(prob.cost_mats[0])
+    # 2-D landmark embedding of every location (works without
+    # coordinates: distances to two random landmarks triangulate)
+    n_loc = cost.shape[0]
+    l1, l2 = rng.integers(0, n_loc, 2)
+    emb = np.stack([cost[l1], cost[l2]], axis=1)  # (n_loc, 2)
+    cents = np.zeros((F, 2))
+    for f in range(F):
+        if lens[f] > 0:
+            locs = prob.order_loc[R[f, :lens[f]]]
+            cents[f] = emb[locs].mean(axis=0)
+        else:
+            cents[f] = emb[prob.veh_start[f]]
+    d = rng.normal(size=2)
+    order = np.argsort(cents @ d, kind="stable").astype(np.int64)
+    pad = (-F) % group
+    if pad:
+        order = np.concatenate([order, order[:pad]])
+    outs = []
+    for g0 in range(0, len(order), group):
+        idx = np.sort(order[g0:g0 + group])
+        sub = subset_ls_problem(lsp, idx)
+        packed = np.array(np.asarray(
+            evaluate_moves_topk(sub, R[idx], lens[idx])
+        ))
+        # move encodings carry route indices at mv[0] and mv[2]
+        # (packed columns 2 and 4) for every family
+        packed[:, 2] = idx[packed[:, 2].astype(np.int64)]
+        packed[:, 4] = idx[packed[:, 4].astype(np.int64)]
+        outs.append(packed)
+    return np.concatenate(outs, axis=0)
+
+
+def _prize_pass(prob, lsp, routes, unserved, rng=None):
+    """In-LS prize moves (reference prize-collection candidates,
+    local_search.cuh:102-160): device-scored DROPS (order's prize is
+    below its removal saving) and PICKUPS of unserved orders (best
+    insertion cost below the prize) applied with exact host
+    verification. Mutates `routes` and `unserved`; returns True when
+    the net objective improved."""
+    import jax.numpy as jnp
+
+    from cuopt_tpu.routing.local_search import (
+        BIG,
+        evaluate_insertions_best,
+        evaluate_prize_drops,
+    )
+
+    improved = False
+    L_pad = _pad_len(routes)
+    R, lens = _routes_to_arrays(prob, routes, L_pad)
+    drops = np.asarray(evaluate_prize_drops(lsp, R, lens))
+    for f in range(drops.shape[0]):
+        i = int(np.argmin(drops[f]))
+        r = routes.get(f) or []
+        if drops[f, i] < -1e-9 and i < len(r):
+            o = r[i]
+            cand = r[:i] + r[i + 1:]
+            saving = prob.route_cost(f, r) - prob.route_cost(f, cand)
+            if float(prob.prizes[o]) < saving - 1e-9:
+                routes[f] = cand
+                unserved.append(o)
+                improved = True
+    if unserved:
+        L_pad = max(_pad_len(routes), L_pad)
+        R, lens = _routes_to_arrays(prob, routes, L_pad)
+        P0 = max(8, 1 << max(0, (len(unserved) - 1)).bit_length())
+        cand = np.zeros(P0, np.int32)
+        cand[: len(unserved)] = unserved
+        cmask = np.zeros(P0, bool)
+        cmask[: len(unserved)] = True
+        packed = np.asarray(evaluate_insertions_best(
+            lsp, R, lens, jnp.asarray(cand), jnp.asarray(cmask)
+        ))
+        used: set[int] = set()
+        still = []
+        for pi, o in enumerate(list(unserved)):
+            bd, v, j = (float(packed[pi, 0]), int(packed[pi, 1]),
+                        int(packed[pi, 2]))
+            take = False
+            if bd < BIG / 2 and v not in used and \
+                    bd < float(prob.prizes[o]) - 1e-9:
+                r = routes.get(v) or []
+                cand_r = r[:j] + [o] + r[j:]
+                delta = prob.route_cost(v, cand_r) - prob.route_cost(v, r)
+                if delta < float(prob.prizes[o]) - 1e-9 and \
+                        prob.route_feasible(v, cand_r):
+                    routes[v] = cand_r
+                    used.add(v)
+                    improved = True
+                    take = True
+            if not take:
+                still.append(o)
+        unserved[:] = still
+    return improved
+
+
+def _local_search(prob, lsp, routes, timer, max_rounds=10_000,
+                  unserved=None):
     """Batched local search: one device call scores the top-k candidates
     of every move family; the host applies ALL improving candidates that
     touch disjoint routes (the reference executes whole move sets per GPU
     iteration, local_search/move_candidates/). Moves that fail the exact
     host model (breaks, max cost/time, terminal-arc flags) are skipped
-    individually, never aborting the search."""
+    individually, never aborting the search. On prize instances, each
+    round also applies device-scored drop/pickup moves when `unserved`
+    (a mutable list) is supplied."""
     from cuopt_tpu.routing.local_search import evaluate_moves_topk
 
     exact = _needs_exact_recheck(prob)
     L_pad = _pad_len(routes)
-    for _ in range(max_rounds):
+    grouped = prob.n_fleet > int(1.5 * _LS_GROUP)
+    for round_no in range(max_rounds):
         if timer.expired():
             break
         L_pad = max(L_pad, _pad_len(routes))
         R, lens = _routes_to_arrays(prob, routes, L_pad)
-        packed = np.asarray(evaluate_moves_topk(lsp, R, lens))
+        if grouped:
+            packed = _grouped_moves(prob, lsp, R, lens, round_no)
+        else:
+            packed = np.asarray(evaluate_moves_topk(lsp, R, lens))
         deltas = packed[:, 0]
         kinds = packed[:, 1].astype(np.int32)
         mvs = packed[:, 2:6].astype(np.int32)
@@ -150,6 +275,10 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
             routes = cand
             touched.update((va, vb))
             applied += 1
+        if unserved is not None and prob.prizes is not None and \
+                not timer.expired():
+            if _prize_pass(prob, lsp, routes, unserved):
+                applied += 1
         if applied == 0:
             # pairwise families exhausted: try multi-route exchange
             # cycles (reference cycle_finder.cu) and HVRP vehicle
@@ -161,8 +290,13 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000):
 
             if timer.expired():
                 break
-            routes, improved = cycle_search(prob, lsp, routes)
-            routes, imp2 = hvrp_reassign(prob, lsp, routes)
+            if grouped:
+                # cycle/HVRP tensors are all-pairs over the WHOLE fleet
+                # (O((F*L)^2)) — out of budget at large F
+                improved = imp2 = False
+            else:
+                routes, improved = cycle_search(prob, lsp, routes)
+                routes, imp2 = hvrp_reassign(prob, lsp, routes)
             routes, imp3 = _pdp_pair_improve(prob, routes, timer)
             improved = improved or imp2 or imp3
             if prob.precedence and improved:
@@ -370,7 +504,8 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
             routes, unassigned = cheapest_insertion(prob)
     routes, unassigned = _enforce_precedence(prob, routes, unassigned,
                                              rng)
-    routes = _local_search(prob, lsp, routes, timer)
+    routes = _local_search(prob, lsp, routes, timer,
+                           unserved=unassigned)
 
     from cuopt_tpu.routing.diversity import (
         RoutingPopulation,
@@ -393,7 +528,8 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
     )
     routes, unassigned = _enforce_precedence(prob, routes, unassigned,
                                              rng)
-    routes = _local_search(prob, lsp, routes, timer)
+    routes = _local_search(prob, lsp, routes, timer,
+                           unserved=unassigned)
 
     if prob.prizes is not None:
         routes, unassigned = prize_filter(prob, routes, unassigned)
@@ -446,7 +582,7 @@ def Solve(data_model, solver_settings: SolverSettings | None = None):
             child = ruin_recreate(prob, pa, rng)
         routes, un2 = child
         routes, un2 = _enforce_precedence(prob, routes, un2, rng)
-        routes = _local_search(prob, lsp, routes, timer)
+        routes = _local_search(prob, lsp, routes, timer, unserved=un2)
         if prob.prizes is not None:
             routes, un2 = prize_filter(prob, routes, un2)
         pop.add(prob, routes, un2)

@@ -121,3 +121,49 @@ def test_solve_with_fixed_costs_uses_few_vehicles():
     sol = routing.Solve(dm, settings)
     assert sol.get_status() == 0
     assert sol.get_vehicle_count() <= 2
+
+
+def test_prize_moves_inside_local_search():
+    """LS alone (no population filter) improves the net prize objective:
+    the in-tensor drop family removes an unprofitable far order and the
+    pickup step inserts an unserved profitable one (reference scores
+    prize moves inside the LS candidate tensors,
+    local_search/local_search.cuh:102-160)."""
+    from cuopt_tpu.routing.local_search import build_ls_problem
+    from cuopt_tpu.routing.solver import _local_search
+    from cuopt_tpu.utils.timer import Timer
+
+    n = 5
+    d = np.array([
+        [0, 1, 100, 1, 2],
+        [1, 0, 100, 1, 2],
+        [100, 100, 0, 100, 100],
+        [1, 1, 100, 0, 2],
+        [2, 2, 100, 2, 0],
+    ], float)
+    dm = routing.DataModel(n, 1)
+    dm.add_cost_matrix(d)
+    # order at loc 2 is 200 cost round-trip for prize 1 -> drop;
+    # order at loc 4 is ~4 cost for prize 50 -> pickup
+    dm.set_order_prizes(np.array([0.0, 5.0, 1.0, 5.0, 50.0]))
+    prob = build_problem(dm)
+    lsp = build_ls_problem(prob)
+    far = [i for i in range(prob.n_serve) if prob.order_loc[i] == 2][0]
+    good = [i for i in range(prob.n_serve) if prob.order_loc[i] == 4][0]
+    serve_wo_good = [i for i in range(prob.n_serve) if i != good]
+    routes = {0: serve_wo_good}
+    unserved = [good]
+
+    def net(routes, unserved):
+        cost = sum(prob.route_cost(v, r) for v, r in routes.items() if r)
+        lost = sum(float(prob.prizes[o]) for o in unserved)
+        return cost + lost  # minimizing cost + foregone prizes
+
+    before = net(routes, unserved)
+    out = _local_search(prob, lsp, routes, Timer(30), max_rounds=6,
+                        unserved=unserved)
+    after = net(out, unserved)
+    served = [o for r in out.values() for o in r]
+    assert far in unserved            # unprofitable order dropped
+    assert good in served             # profitable order picked up
+    assert after < before - 50.0      # net objective improved
