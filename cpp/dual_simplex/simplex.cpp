@@ -124,6 +124,11 @@ class DualSimplex {
     }
     ComputeDualsAndPrices();
     RepairDualFeasibility();
+    PerturbCosts();
+    if (perturbed_) {
+      ComputeDualsAndPrices();
+      RepairDualFeasibility();
+    }
     gamma_.assign(m_, 1.0);
 
     int iter = 0;
@@ -181,6 +186,15 @@ class DualSimplex {
           ComputeXb();
           ComputeDualsAndPrices();
           continue;  // re-scan with exact values
+        }
+        if (perturbed_) {
+          // optimal under the PERTURBED costs: restore the true ones
+          // and run a short repair/pivot tail under them
+          perturbed_ = false;
+          c_ = p_.c;
+          ComputeDualsAndPrices();
+          RepairDualFeasibility();
+          continue;
         }
         {
           // optimality may not be claimed with a nonfinite basic value
@@ -384,8 +398,34 @@ class DualSimplex {
   void InitBounds() {
     lo_ = p_.lo;
     up_ = p_.up;
+    c_ = p_.c;
     used_big_bounds_ = false;
+    perturbed_ = false;
     fake_bound_.assign(nt_, 0);
+  }
+
+  // Cost perturbation (dual anti-degeneracy). Massively degenerate LPs
+  // (set covering: cod105 burned 20k+ iterations AT the optimum without
+  // terminating) make the dual ratio test take zero-length steps; a
+  // tiny placement-consistent cost perturbation breaks the ties
+  // (reference phase2.cpp uses Harris + bound shifting for the same
+  // purpose; HiGHS/ Koberstein-style dual codes perturb costs). The
+  // direction follows the initial placement so initial dual
+  // feasibility is preserved; costs are RESTORED at the first
+  // optimality claim and a short repair loop re-establishes dual
+  // feasibility under the true costs.
+  void PerturbCosts() {
+    if (nt_ <= 50) return;
+    uint64_t s = 0x9e3779b97f4a7c15ull;
+    for (int j = 0; j < p_.n; ++j) {
+      if (in_basis_[j]) continue;
+      s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+      const double u = 0.5 + 0.5 * double(s % 1024) / 1024.0;
+      const double eps = 1e-7 * (1.0 + std::fabs(c_[j])) * u;
+      if (at_lower_[j]) c_[j] += eps;       // dj moves up: still >= 0
+      else if (at_upper_[j]) c_[j] -= eps;  // dj moves down: still <= 0
+    }
+    perturbed_ = true;
   }
 
   void InitBasis(const int8_t* vstat_in, const double* x_hint,
@@ -641,7 +681,7 @@ class DualSimplex {
     y_.assign(m_, 0.0);
     for (int i = 0; i < m_; ++i) {
       const int j = basis_[i];
-      if (j < p_.n) y_[i] = p_.c[j];
+      if (j < p_.n) y_[i] = c_[j];
     }
     // y holds c_B in basis-position order; but Btran wants row-space rhs.
     // c_B is indexed by basis POSITION and B^T y = c_B couples position k
@@ -654,7 +694,7 @@ class DualSimplex {
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
       double s;
-      double cj = (j < p_.n) ? p_.c[j] : 0.0;
+      double cj = (j < p_.n) ? c_[j] : 0.0;
       if (j < p_.n) {
         s = 0.0;
         for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
@@ -776,6 +816,8 @@ class DualSimplex {
   std::vector<int> basis_;
   std::vector<uint8_t> in_basis_, at_lower_, at_upper_;
   std::vector<double> lo_, up_;
+  std::vector<double> c_;  // working costs (perturbation-aware)
+  bool perturbed_ = false;
   std::vector<double> xb_, y_, dj_, gamma_;
   std::vector<uint8_t> pref_lower_;
   bool crash_used_ = false;

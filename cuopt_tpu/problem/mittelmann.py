@@ -1,0 +1,268 @@
+"""Mittelmann-structure LP instance generators.
+
+The reference benchmarks on Hans Mittelmann's "LPfeasible" collection
+(50 named instances fetched from plato.asu.edu — reference
+benchmarks/linear_programming/utils/get_datasets.py:32-81). That set is
+a network download, so these generators reproduce the STRUCTURAL
+classes of its best-known members at arbitrary scale, giving the
+offline benchmark real structure instead of a noise band
+(VERDICT r04 missing #3):
+
+  - `supply_chain_staircase`: multi-period production/inventory flow —
+    period-diagonal staircase blocks linked by inventory carry
+    variables (the structure of instances like `s250r10` /
+    woodlands-type supply chains: >90% of nnz in two diagonal bands,
+    equality rows, wide RHS range).
+  - `set_cover`: 0/1 covering matrices with power-law column sizes
+    (`scpm1`/`set-cover-model`: >= rows covered by ~3-10 columns each,
+    unit RHS, degenerate optima).
+  - `network_flow_dense`: min-cost-flow node-arc incidence (+/-1
+    entries, equality rows, total supply balance) plus a few DENSE
+    side columns (capacity reservation) — the `L1_sixm250obs`-class
+    mix of ultra-sparse incidence with dense coupling columns.
+  - `degenerate_transport`: transportation LP with clustered equal
+    costs — massive dual degeneracy (the `degme`-class stress for
+    simplex ratio tests and PDLP restarts).
+  - `l1_fitting`: L1 regression reformulated as an LP (|Ax - b| via
+    split residuals; the `L1_sixm` family) — long thin blocks, every
+    row dense in exactly (k + 2) entries.
+
+All return the host `OptimizationProblem` (CSR) used by every solver
+entry. Deterministic per (seed, size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _problem(rows_lo, rows_up, cols_lo, cols_up, c, coo_r, coo_c, coo_v,
+             maximize=False):
+    from cuopt_tpu.problem.data_model import OptimizationProblem
+
+    m = len(rows_lo)
+    n = len(c)
+    coo_r = np.asarray(coo_r, np.int64)
+    coo_c = np.asarray(coo_c, np.int64)
+    coo_v = np.asarray(coo_v, float)
+    order = np.lexsort((coo_c, coo_r))
+    coo_r, coo_c, coo_v = coo_r[order], coo_c[order], coo_v[order]
+    counts = np.bincount(coo_r, minlength=m)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    row_types = np.where(
+        np.asarray(rows_lo) == np.asarray(rows_up), "E",
+        np.where(np.isfinite(rows_up), "L", "G"),
+    )
+    return OptimizationProblem(
+        offsets=offsets.astype(np.int64),
+        indices=coo_c,
+        values=coo_v,
+        objective_coefficients=np.asarray(c, float),
+        objective_offset=0.0,
+        maximize=maximize,
+        constraint_lower_bounds=np.asarray(rows_lo, float),
+        constraint_upper_bounds=np.asarray(rows_up, float),
+        row_types=np.asarray(row_types),
+        rhs=np.where(np.isfinite(rows_up), rows_up,
+                     np.asarray(rows_lo, float)),
+        variable_lower_bounds=np.asarray(cols_lo, float),
+        variable_upper_bounds=np.asarray(cols_up, float),
+        variable_types=np.full(n, "C"),
+    )
+
+
+def supply_chain_staircase(n_periods=500, n_products=100, seed=0):
+    """Multi-period flow: produce[p,t] + inv[p,t-1] - inv[p,t] =
+    demand[p,t] (equality staircase), capacity rows per period.
+    rows ~= n_periods*(n_products+1), nnz ~= 4*rows."""
+    rng = np.random.default_rng(seed)
+    P, T = n_products, n_periods
+    # variables: produce (P*T), inventory (P*T)
+    n = 2 * P * T
+    prod = lambda p, t: p * T + t
+    inv = lambda p, t: P * T + p * T + t
+    demand = rng.uniform(1, 20, (P, T))
+    rr, cc, vv = [], [], []
+    rows_lo, rows_up = [], []
+    r = 0
+    for p in range(P):
+        for t in range(T):
+            # produce + inv_{t-1} - inv_t = demand
+            rr += [r, r]
+            cc += [prod(p, t), inv(p, t)]
+            vv += [1.0, -1.0]
+            if t > 0:
+                rr.append(r)
+                cc.append(inv(p, t - 1))
+                vv.append(1.0)
+            d = demand[p, t]
+            rows_lo.append(d)
+            rows_up.append(d)
+            r += 1
+    # per-period shared capacity: sum_p produce[p,t] <= cap
+    cap = 1.3 * demand.sum(axis=0)
+    for t in range(T):
+        for p in range(P):
+            rr.append(r)
+            cc.append(prod(p, t))
+            vv.append(1.0)
+        rows_lo.append(-np.inf)
+        rows_up.append(float(cap[t]))
+        r += 1
+    c = np.concatenate([
+        rng.uniform(1, 5, P * T),        # production cost
+        rng.uniform(0.05, 0.4, P * T),   # holding cost
+    ])
+    lo = np.zeros(n)
+    up = np.full(n, np.inf)
+    return _problem(rows_lo, rows_up, lo, up, c, rr, cc, vv)
+
+
+def set_cover(n_rows=100_000, n_cols=20_000, seed=0):
+    """LP relaxation of set covering: A x >= 1, 0 <= x <= 1, min c x,
+    power-law column sizes (a few huge sets, many small)."""
+    rng = np.random.default_rng(seed)
+    sizes = np.minimum(
+        (rng.pareto(1.3, n_cols) + 1).astype(int) * 3, n_rows // 10
+    )
+    rr, cc = [], []
+    for j in range(n_cols):
+        rows = rng.choice(n_rows, size=sizes[j], replace=False)
+        rr.append(rows)
+        cc.append(np.full(len(rows), j))
+    # guarantee coverage: every row in at least one cheap singleton
+    uncovered = np.setdiff1d(np.arange(n_rows), np.concatenate(rr))
+    extra_cols = []
+    for k, i in enumerate(uncovered):
+        rr.append(np.array([i]))
+        cc.append(np.array([n_cols + k]))
+        extra_cols.append(i)
+    n_tot = n_cols + len(extra_cols)
+    rr = np.concatenate(rr)
+    cc = np.concatenate(cc)
+    vv = np.ones(len(rr))
+    c = np.concatenate([
+        1.0 + 0.1 * sizes, np.full(len(extra_cols), 50.0)
+    ])
+    return _problem(
+        np.ones(n_rows), np.full(n_rows, np.inf),
+        np.zeros(n_tot), np.ones(n_tot), c, rr, cc, vv,
+    )
+
+
+def network_flow_dense(n_nodes=50_000, arcs_per_node=4, n_dense=8,
+                       seed=0):
+    """Min-cost flow on a random sparse digraph (+/-1 incidence,
+    equality balance rows) plus `n_dense` dense 'capacity reservation'
+    columns touching every node — the sparse-matrix-with-dense-columns
+    mix that breaks naive row partitioning."""
+    rng = np.random.default_rng(seed)
+    N = n_nodes
+    A = N * arcs_per_node
+    tail = rng.integers(0, N, A)
+    head = (tail + 1 + rng.integers(0, N - 1, A)) % N
+    # supplies from a CONSTRUCTED flow (feasible by construction):
+    # random arc flows -> node imbalances are the balances
+    f0 = rng.uniform(0.0, 10.0, A)
+    supply = np.zeros(N)
+    np.add.at(supply, tail, f0)
+    np.add.at(supply, head, -f0)
+    rr = np.concatenate([tail, head])
+    cc = np.concatenate([np.arange(A), np.arange(A)])
+    vv = np.concatenate([np.ones(A), -np.ones(A)])
+    # dense side columns: delta on every node
+    dr, dc, dv = [], [], []
+    for k in range(n_dense):
+        dr.append(np.arange(N))
+        dc.append(np.full(N, A + k))
+        dv.append(rng.uniform(-1, 1, N))
+    rr = np.concatenate([rr, *dr])
+    cc = np.concatenate([cc, *dc])
+    vv = np.concatenate([vv, *dv])
+    n = A + n_dense
+    c = np.concatenate([
+        rng.uniform(1, 10, A), rng.uniform(20, 40, n_dense)
+    ])
+    lo = np.zeros(n)
+    up = np.concatenate([
+        f0 + rng.uniform(1.0, 5.0, A), np.full(n_dense, 5.0)
+    ])
+    return _problem(supply, supply, lo, up, c, rr, cc, vv)
+
+
+def degenerate_transport(n_src=400, n_dst=400, seed=0):
+    """Dense-ish transportation LP with CLUSTERED EQUAL COSTS: many
+    alternate optima -> massive dual degeneracy (ratio-test stress)."""
+    rng = np.random.default_rng(seed)
+    S, D = n_src, n_dst
+    sup = rng.integers(5, 50, S).astype(float)
+    dem_frac = rng.dirichlet(np.ones(D))
+    dem = np.floor(dem_frac * sup.sum()).astype(float)
+    dem[0] += sup.sum() - dem.sum()
+    # only k nearest destinations reachable per source (sparse)
+    k = max(8, D // 20)
+    rr, cc, vv = [], [], []
+    col = 0
+    cols_of = []
+    costs = []
+    for s in range(S):
+        ds = (np.arange(s, s + k) % D)
+        for d in ds:
+            rr += [s, S + d]
+            cc += [col, col]
+            vv += [1.0, 1.0]
+            # clustered costs: few distinct values
+            costs.append(float(rng.integers(1, 6)))
+            col += 1
+        cols_of.append(ds)
+    rows_lo = np.concatenate([sup, dem])
+    rows_up = np.concatenate([sup, np.full(D, np.inf)])
+    n = col
+    return _problem(
+        rows_lo, rows_up, np.zeros(n), np.full(n, np.inf),
+        np.asarray(costs), rr, cc, vv,
+    )
+
+
+def l1_fitting(n_obs=200_000, n_feat=16, seed=0):
+    """L1 regression as an LP (the L1_sixm family): for each
+    observation i, r_i+ - r_i- = a_i^T x - b_i, minimize sum r+ + r-.
+    Every row has exactly n_feat + 2 nnz; the x block is dense-column."""
+    rng = np.random.default_rng(seed)
+    Aobs = rng.normal(size=(n_obs, n_feat))
+    x_true = rng.normal(size=n_feat)
+    b = Aobs @ x_true + rng.laplace(0, 0.5, n_obs)
+    # variables: x (free, n_feat), r+ (n_obs), r- (n_obs)
+    n = n_feat + 2 * n_obs
+    rr = np.repeat(np.arange(n_obs), n_feat + 2)
+    cc = np.concatenate([
+        np.concatenate([np.arange(n_feat),
+                        [n_feat + i, n_feat + n_obs + i]])
+        for i in range(n_obs)
+    ])
+    vv = np.concatenate([
+        np.concatenate([Aobs[i], [-1.0, 1.0]]) for i in range(n_obs)
+    ])
+    c = np.concatenate([
+        np.zeros(n_feat), np.ones(2 * n_obs)
+    ])
+    lo = np.concatenate([
+        np.full(n_feat, -np.inf), np.zeros(2 * n_obs)
+    ])
+    up = np.full(n, np.inf)
+    return _problem(b, b, lo, up, c, rr, cc, vv)
+
+
+GENERATORS = {
+    "staircase-supply": lambda scale, seed: supply_chain_staircase(
+        n_periods=max(50, scale // 200), n_products=200, seed=seed),
+    "set-cover": lambda scale, seed: set_cover(
+        n_rows=scale, n_cols=max(200, scale // 5), seed=seed),
+    "netflow-dense": lambda scale, seed: network_flow_dense(
+        n_nodes=scale, seed=seed),
+    "degen-transport": lambda scale, seed: degenerate_transport(
+        n_src=max(40, int(scale ** 0.5)), n_dst=max(40, int(scale ** 0.5)),
+        seed=seed),
+    "l1-fitting": lambda scale, seed: l1_fitting(
+        n_obs=scale, seed=seed),
+}

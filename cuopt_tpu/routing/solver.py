@@ -82,11 +82,11 @@ def _needs_exact_recheck(prob) -> bool:
     )
 
 
-def _pad_len(routes) -> int:
-    """Padded route width: +4 headroom, rounded up to a multiple of 8 so
+def _pad_len(routes, headroom=4) -> int:
+    """Padded route width: +headroom, rounded up to a multiple of 8 so
     jit recompiles are rare and monotone as routes grow."""
     longest = max((len(r) for r in routes.values()), default=1)
-    return max(8, ((longest + 4 + 7) // 8) * 8)
+    return max(8, ((longest + headroom + 7) // 8) * 8)
 
 
 _LS_GROUP = 64  # routes per all-pairs evaluation tile at scale
@@ -109,6 +109,10 @@ def _grouped_moves(prob, lsp, R, lens, round_no, group=_LS_GROUP):
     )
 
     F = R.shape[0]
+    # HOST copies once: per-route indexing of the device arrays costs a
+    # tunnel roundtrip each (409 routes x ~4 syncs measured 40s/round)
+    R = np.asarray(R)
+    lens = np.asarray(lens)
     rng = np.random.default_rng(1009 * (round_no + 1))
     cost = np.asarray(prob.cost_mats[0])
     # 2-D landmark embedding of every location (works without
@@ -116,31 +120,41 @@ def _grouped_moves(prob, lsp, R, lens, round_no, group=_LS_GROUP):
     n_loc = cost.shape[0]
     l1, l2 = rng.integers(0, n_loc, 2)
     emb = np.stack([cost[l1], cost[l2]], axis=1)  # (n_loc, 2)
-    cents = np.zeros((F, 2))
-    for f in range(F):
-        if lens[f] > 0:
-            locs = prob.order_loc[R[f, :lens[f]]]
-            cents[f] = emb[locs].mean(axis=0)
-        else:
-            cents[f] = emb[prob.veh_start[f]]
+    Rc = np.where(R >= 0, R, 0)
+    loc_emb = emb[prob.order_loc[Rc]]             # (F, L, 2)
+    mask = (R >= 0)[:, :, None]
+    cents = np.where(
+        lens[:, None] > 0,
+        (loc_emb * mask).sum(axis=1) / np.maximum(lens[:, None], 1),
+        emb[prob.veh_start],
+    )
     d = rng.normal(size=2)
     order = np.argsort(cents @ d, kind="stable").astype(np.int64)
     pad = (-F) % group
     if pad:
         order = np.concatenate([order, order[:pad]])
-    outs = []
-    for g0 in range(0, len(order), group):
-        idx = np.sort(order[g0:g0 + group])
-        sub = subset_ls_problem(lsp, idx)
-        packed = np.array(np.asarray(
-            evaluate_moves_topk(sub, R[idx], lens[idx])
-        ))
-        # move encodings carry route indices at mv[0] and mv[2]
-        # (packed columns 2 and 4) for every family
-        packed[:, 2] = idx[packed[:, 2].astype(np.int64)]
-        packed[:, 4] = idx[packed[:, 4].astype(np.int64)]
-        outs.append(packed)
-    return np.concatenate(outs, axis=0)
+    import jax
+    import jax.numpy as jnp
+
+    # ALL tiles in ONE vmapped dispatch (per-tile calls cost a device
+    # round trip each over the tunnel)
+    idx_mat = np.stack([
+        np.sort(order[g0:g0 + group])
+        for g0 in range(0, len(order), group)
+    ])  # (n_tiles, group)
+    subs = [subset_ls_problem(lsp, idx) for idx in idx_mat]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *subs
+    )
+    packed = np.array(np.asarray(jax.vmap(evaluate_moves_topk)(
+        stacked, jnp.asarray(R[idx_mat]), jnp.asarray(lens[idx_mat])
+    )))  # (n_tiles, K, 6)
+    # move encodings carry route indices at mv[0] and mv[2]
+    # (packed columns 2 and 4) for every family
+    for t in range(packed.shape[0]):
+        packed[t, :, 2] = idx_mat[t][packed[t, :, 2].astype(np.int64)]
+        packed[t, :, 4] = idx_mat[t][packed[t, :, 4].astype(np.int64)]
+    return packed.reshape(-1, packed.shape[-1])
 
 
 def _prize_pass(prob, lsp, routes, unserved, rng=None):
@@ -220,17 +234,26 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000,
     from cuopt_tpu.routing.local_search import evaluate_moves_topk
 
     exact = _needs_exact_recheck(prob)
-    L_pad = _pad_len(routes)
+    # generous fixed headroom: every L_pad growth recompiles the whole
+    # evaluator (40-70s over the remote-compile tunnel — the 4k bench
+    # measured 33s/round from exactly this; steady-state is ~0.6s)
+    L_pad = _pad_len(routes, headroom=12)
     grouped = prob.n_fleet > int(1.5 * _LS_GROUP)
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("CUOPT_LS_DEBUG")
     for round_no in range(max_rounds):
         if timer.expired():
             break
+        _t0 = _time.perf_counter()
         L_pad = max(L_pad, _pad_len(routes))
         R, lens = _routes_to_arrays(prob, routes, L_pad)
         if grouped:
             packed = _grouped_moves(prob, lsp, R, lens, round_no)
         else:
             packed = np.asarray(evaluate_moves_topk(lsp, R, lens))
+        _t1 = _time.perf_counter()
         deltas = packed[:, 0]
         kinds = packed[:, 1].astype(np.int32)
         mvs = packed[:, 2:6].astype(np.int32)
@@ -275,6 +298,10 @@ def _local_search(prob, lsp, routes, timer, max_rounds=10_000,
             routes = cand
             touched.update((va, vb))
             applied += 1
+        if _dbg:
+            print(f"[round] eval {_t1 - _t0:.2f}s apply "
+                  f"{_time.perf_counter() - _t1:.2f}s "
+                  f"applied={applied}", flush=True)
         if unserved is not None and prob.prizes is not None and \
                 not timer.expired():
             if _prize_pass(prob, lsp, routes, unserved):
