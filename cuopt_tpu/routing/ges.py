@@ -129,12 +129,39 @@ def feasible_insertions(prob, routes, o, exclude=(), max_cands=64):
     return out
 
 
+def _try_insert_after_eject(prob, v, r, eject_pos, unit, p_sum, best,
+                            penalties):
+    """Remove the positions in `eject_pos` from route r, try inserting
+    `unit`; returns an improved best tuple or the old one."""
+    keep = [w for i, w in enumerate(r) if i not in eject_pos]
+    ejected = [r[i] for i in sorted(eject_pos)]
+    for i in range(len(keep) + 1):
+        cand = keep[:i] + [unit[0]] + keep[i:]
+        if len(unit) == 2:
+            for j in range(i + 1, len(cand) + 1):
+                cand2 = cand[:j] + [unit[1]] + cand[j:]
+                if prob.route_feasible(v, cand2):
+                    return (p_sum, v, cand2, ejected)
+        else:
+            if prob.route_feasible(v, cand):
+                return (p_sum, v, cand, ejected)
+    return best
+
+
 def _ejection_insertions(prob, routes, o, penalties, exclude=(),
-                         k_max=4):
-    """Insertions of o that require ejecting 1..k_max consecutive orders,
-    scored by ejected penalty sum (lexicographic ejection search,
-    reference ges/lexicographic_search/). Returns the best
-    (p_sum, v, new_route, ejected) or None."""
+                         k_max=4, nc_k_max=3, nc_pool=10):
+    """Insertions of o that require ejecting orders, scored by ejected
+    penalty sum (lexicographic ejection search, reference
+    ges/lexicographic_search/ explores NON-consecutive subsets to
+    k <= 6). Two phases per route:
+      1. consecutive windows of 1..k_max orders (cheap scan);
+      2. lexicographic NON-consecutive subsets (size 2..nc_k_max) of
+         the `nc_pool` cheapest-penalty positions, pruned by the
+         running best penalty sum — the route-minimization workhorse
+         the consecutive-only r04 search was missing (VERDICT #7).
+    Returns the best (p_sum, v, new_route, ejected) or None."""
+    from itertools import combinations
+
     unit = _pair_unit(prob, o)
     best = None
     for v in range(prob.n_fleet):
@@ -148,40 +175,51 @@ def _ejection_insertions(prob, routes, o, penalties, exclude=(),
         if not r or any(u in r for u in unit):
             continue
         n = len(r)
+
+        def pd_closed(ej_set):
+            # PD orders must be ejected with their partner
+            for w in ej_set:
+                for u in _pair_unit(prob, w):
+                    if u in r and u not in ej_set:
+                        return False
+            return True
+
         for e0 in range(n):
             for k in range(1, min(k_max, n - e0) + 1):
                 ejected = r[e0:e0 + k]
-                # PD orders must be ejected with their partner; extend the
-                # ejection set when a partner lies outside the window
-                ej_set = set(ejected)
-                ok = True
-                for w in ejected:
-                    pu = _pair_unit(prob, w)
-                    for u in pu:
-                        if u in r and u not in ej_set:
-                            ok = False
-                if not ok:
+                if not pd_closed(set(ejected)):
                     continue
                 p_sum = sum(penalties[w] for w in ejected)
                 if best is not None and p_sum >= best[0]:
                     continue
-                rem = r[:e0] + r[e0 + k:]
-                for i in range(len(rem) + 1):
-                    cand = rem[:i] + [unit[0]] + rem[i:]
-                    if len(unit) == 2:
-                        found = False
-                        for j in range(i + 1, len(cand) + 1):
-                            cand2 = cand[:j] + [unit[1]] + cand[j:]
-                            if prob.route_feasible(v, cand2):
-                                best = (p_sum, v, cand2, list(ejected))
-                                found = True
-                                break
-                        if found:
-                            break
-                    else:
-                        if prob.route_feasible(v, cand):
-                            best = (p_sum, v, cand, list(ejected))
-                            break
+                cand = _try_insert_after_eject(
+                    prob, v, r, set(range(e0, e0 + k)), unit, p_sum,
+                    best, penalties,
+                )
+                if cand is not best:
+                    best = cand
+        # non-consecutive subsets over the cheapest-penalty positions
+        if nc_k_max >= 2 and n >= 3:
+            order_by_p = sorted(
+                range(n), key=lambda i: penalties[r[i]]
+            )[:nc_pool]
+            for k in range(2, min(nc_k_max, len(order_by_p)) + 1):
+                for subset in combinations(order_by_p, k):
+                    pos = set(subset)
+                    # consecutive subsets were covered in phase 1
+                    lo, hi = min(pos), max(pos)
+                    if hi - lo + 1 == k:
+                        continue
+                    p_sum = sum(penalties[r[i]] for i in pos)
+                    if best is not None and p_sum >= best[0]:
+                        continue
+                    if not pd_closed({r[i] for i in pos}):
+                        continue
+                    cand = _try_insert_after_eject(
+                        prob, v, r, pos, unit, p_sum, best, penalties,
+                    )
+                    if cand is not best:
+                        best = cand
     return best
 
 
@@ -275,4 +313,11 @@ def minimize_routes(prob, routes, timer, rng, budget_s=None,
                     break
         if not success or pool:
             return saved
+        # the attempt must NET a route: perturbation may have opened an
+        # empty vehicle while reinserting (seen as 9 -> 10 "minimized"
+        # counts); keep the elimination only when the count went down
+        if sum(1 for r in routes.values() if r) >= \
+                sum(1 for r in saved.values() if r):
+            routes = saved
+            break
     return routes

@@ -167,3 +167,43 @@ def test_prize_moves_inside_local_search():
     assert far in unserved            # unprofitable order dropped
     assert good in served             # profitable order picked up
     assert after < before - 50.0      # net objective improved
+
+
+def test_lexicographic_nonconsecutive_ejection_unlocks_insertion():
+    """A capacity-tight route where serving the pooled order requires
+    ejecting the FIRST and LAST orders (demand 5 each, positions 0 and
+    5): every consecutive window of <= 4 frees at most 5, so the r04
+    consecutive-segment search provably fails; the lexicographic
+    non-consecutive subset search (reference
+    ges/guided_ejection_search.cuh:49-81, k<=6 subsets) finds {first,
+    last} and inserts (VERDICT r05 #7)."""
+    from cuopt_tpu.routing.ges import _ejection_insertions
+
+    n = 7  # orders 0..6 at locations 1..7
+    d = np.ones((8, 8), float) - np.eye(8)
+    dm = routing.DataModel(8, 1)
+    dm.add_cost_matrix(d)
+    demand = np.array([0, 5, 0, 0, 0, 0, 5, 10], float)
+    dm.add_capacity_dimension("w", demand, np.array([10.0]))
+    prob = build_problem(dm)
+    # identify serve-order indices by demand
+    dem = prob.demand[0]
+    heavy = [i for i in range(prob.n_serve) if dem[i] == 5]
+    zero = [i for i in range(prob.n_serve) if dem[i] == 0]
+    o_big = [i for i in range(prob.n_serve) if dem[i] == 10][0]
+    route = [heavy[0]] + zero + [heavy[1]]  # load 10 = capacity
+    routes = {0: route}
+    penalties = np.ones(prob.n_serve)
+
+    consec = _ejection_insertions(
+        prob, {0: list(route)}, o_big, penalties, nc_k_max=1
+    )
+    assert consec is None  # consecutive windows cannot free 10
+
+    lex = _ejection_insertions(
+        prob, {0: list(route)}, o_big, penalties, nc_k_max=3
+    )
+    assert lex is not None
+    p_sum, v, new_r, ejected = lex
+    assert sorted(ejected) == sorted(heavy)
+    assert o_big in new_r
