@@ -30,6 +30,7 @@ from cuopt_tpu.sparse.ops import BlockBandOp, CsrOp, DenseOp, EllOp, \
     PermutedOp
 
 ROW_AXIS = "rows"
+DCN_AXIS = "slices"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -37,6 +38,40 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (ROW_AXIS,))
+
+
+def make_mesh_2d(n_slices: int, n_per_slice: int) -> Mesh:
+    """(slices, rows) mesh for multi-slice pods: the LEADING axis models
+    DCN (inter-slice) and the trailing axis ICI (intra-slice) — the
+    device order follows jax.devices(), which enumerates slice-major on
+    real multi-slice topologies, so 'rows' collectives ride ICI and
+    'slices' collectives DCN (SURVEY §2.9 north-star axis; the
+    single-GPU reference has no distribution at all)."""
+    devices = np.array(jax.devices()[: n_slices * n_per_slice])
+    return Mesh(devices.reshape(n_slices, n_per_slice),
+                (DCN_AXIS, ROW_AXIS))
+
+
+def hierarchical_psum(x, mesh: Mesh):
+    """Global sum of a (slices*rows)-sharded vector decomposed into
+    intra-slice (ICI) + inter-slice (DCN) stages: psum over ROW_AXIS
+    first — each slice reduces locally over fast ICI — then ONE scalar
+    per slice crosses the slow DCN. The decomposition is the building
+    block for multi-slice PDLP termination/step reductions (the flat
+    psum over both axes would move every partial over DCN)."""
+    import jax.numpy as jnp
+
+    def body(xs):
+        local = jnp.sum(xs)
+        intra = jax.lax.psum(local, ROW_AXIS)   # ICI stage
+        return jax.lax.psum(intra, DCN_AXIS)    # DCN stage: 1 scalar
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P((DCN_AXIS, ROW_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )(x)
 
 
 def _shard_operator(op, mesh: Mesh):

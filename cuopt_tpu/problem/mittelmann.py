@@ -261,7 +261,7 @@ GENERATORS = {
     "netflow-dense": lambda scale, seed: network_flow_dense(
         n_nodes=scale, seed=seed),
     "degen-transport": lambda scale, seed: degenerate_transport(
-        n_src=max(40, int(scale ** 0.5)), n_dst=max(40, int(scale ** 0.5)),
+        n_src=max(40, scale // 2), n_dst=max(40, scale // 2),
         seed=seed),
     "l1-fitting": lambda scale, seed: l1_fitting(
         n_obs=scale, seed=seed),

@@ -331,6 +331,25 @@ def _check_islands():
     print("ISLANDS_OK")
 
 
+def _check_mesh2d():
+    """2-axis (slices x rows) mesh: the hierarchical ICI-then-DCN psum
+    must equal the flat sum (SURVEY §2.9 multi-slice axis)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuopt_tpu.parallel import hierarchical_psum, make_mesh_2d
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh_2d(2, 4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=4096),
+                    jnp.float64)
+    got = float(hierarchical_psum(x, mesh))
+    want = float(jnp.sum(x))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    print("MESH2D_OK")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "equality":
@@ -341,6 +360,8 @@ if __name__ == "__main__":
         _check_frontier()
     elif mode == "islands":
         _check_islands()
+    elif mode == "mesh2d":
+        _check_mesh2d()
     else:
         raise SystemExit(f"unknown mode {mode}")
 
@@ -359,3 +380,10 @@ def test_sharded_routing_islands():
     across chips; reference diverse_solver.hpp:151 island model)."""
     out = _run_cpu8("islands", timeout=900)
     assert "ISLANDS_OK" in out, out[-2000:]
+
+
+def test_two_axis_mesh_hierarchical_reduction():
+    """(slices x rows) mesh: ICI-stage + DCN-stage psum equals the flat
+    sum (the multi-slice decomposition, SURVEY §2.9)."""
+    out = _run_cpu8("mesh2d", timeout=600)
+    assert "MESH2D_OK" in out, out[-2000:]
