@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -239,6 +241,33 @@ def _fj_batch_size(prob):
     return int(min(64, max(9, 4_000_000 // max(elems, 1))))
 
 
+# TPU programs pay a heavy-tailed REMOTE warmup on their first
+# execution (2s..80s observed for the same cached program); shapes whose
+# device program has already returned a chunk in this process are
+# recorded here so call sites can start reliably on the host backend
+# and migrate (reference has no such problem: its CUDA kernels are
+# compiled ahead of time).
+_WARM_SHAPES: set = set()
+
+
+def _shape_key(prob):
+    return (prob.n_variables, prob.n_constraints, prob.nnz)
+
+
+def mark_warm(prob):
+    _WARM_SHAPES.add(_shape_key(prob))
+
+
+def fj_platform(prob):
+    """Backend for a NEW FJ engine on this problem: None (default
+    accelerator) once the device program is warm, 'cpu' before that —
+    the host compile is local and takes ~2s deterministically, so
+    heuristic slices never stall behind the remote warmup lottery."""
+    if jax.default_backend() == "cpu":
+        return None
+    return None if _shape_key(prob) in _WARM_SHAPES else "cpu"
+
+
 class FjEngine:
     """Persistent FJ worker: the climber batch is compiled once and then
     chunk-stepped for the whole solve, with incumbent-aware reseeding —
@@ -249,12 +278,24 @@ class FjEngine:
     The climber batch has a FIXED size so every call site (background
     engine, recombiner, pump) shares ONE compiled program per problem
     shape — a cold XLA compile costs minutes on the remote TPU compiler.
+
+    `platform` pins the engine to a backend ('cpu' for the reliable
+    host fast-start); batches can be handed between same-shape engines
+    with `adopt_batch` (the warm-migration path in mip/solve.py).
     """
 
     def __init__(self, prob, x_starts, seed=0, dtype=jnp.float64,
-                 steps_per_chunk=64, obj_weight=1e-3):
+                 steps_per_chunk=64, obj_weight=1e-3, platform=None):
         self.prob = prob
-        self.p = make_fj_problem(prob, dtype)
+        self.platform = platform
+        self.device = jax.local_devices(backend=platform)[0] \
+            if platform else jax.devices()[0]
+        # build UNDER the target device so a host-pinned engine never
+        # touches the accelerator, then commit (device_put) so jit
+        # dispatches the chunk program to this backend
+        with jax.default_device(self.device):
+            self.p = jax.device_put(make_fj_problem(prob, dtype),
+                                    self.device)
         self.dtype = dtype
         self.steps_per_chunk = steps_per_chunk
         self.obj_weight = obj_weight
@@ -267,24 +308,30 @@ class FjEngine:
         self.batch_size = _fj_batch_size(prob)
         weights = [obj_weight, 10 * obj_weight, 0.1 * obj_weight, 0.0]
         x_starts = list(x_starts)[: self.batch_size - 1]
-        states = [
-            init_state(self.p, x0, seed + i, weights[i % len(weights)])
-            for i, x0 in enumerate(x_starts)
-        ]
-        states.append(init_state(
-            self.p, jnp.zeros((prob.n_variables,), dtype),
-            seed + len(states), 0.0,
-        ))
-        k = 0
-        while len(states) < self.batch_size and x_starts:
+        with jax.default_device(self.device):
+            states = [
+                init_state(self.p, x0, seed + i,
+                           weights[i % len(weights)])
+                for i, x0 in enumerate(x_starts)
+            ]
             states.append(init_state(
-                self.p, x_starts[k % len(x_starts)], seed + 101 + k,
-                weights[(k + 1) % len(weights)],
+                self.p, jnp.zeros((prob.n_variables,), dtype),
+                seed + len(states), 0.0,
             ))
-            k += 1
-        self.batch = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *states
-        )
+            k = 0
+            while len(states) < self.batch_size and x_starts:
+                states.append(init_state(
+                    self.p, x_starts[k % len(x_starts)],
+                    seed + 101 + k,
+                    weights[(k + 1) % len(weights)],
+                ))
+                k += 1
+            self.batch = jax.device_put(
+                jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *states
+                ),
+                self.device,
+            )
         self.pushed_obj = np.inf
         self.chunks = 0
 
@@ -292,9 +339,25 @@ class FjEngine:
         """Run one chunk. Returns (best_x, best_obj) when a new best
         feasible solution appeared this chunk, else None. The first call
         pays the XLA compile."""
+        first = self.chunks == 0
+        if first:
+            from cuopt_tpu.utils.logger import get_logger
+
+            t0 = time.perf_counter()
         self.batch = fj_chunk(self.p, self.batch, self.steps_per_chunk)
         self.chunks += 1
+        if first:
+            t1 = time.perf_counter()
         objs = np.asarray(self.batch.best_obj)  # syncs the chunk
+        if first:
+            get_logger().debug(
+                f"fj first chunk [{self.device.platform}]: "
+                f"dispatch {t1 - t0:.2f}s, "
+                f"sync {time.perf_counter() - t1:.2f}s"
+            )
+            if self.platform is None and \
+                    self.device.platform != "cpu":
+                mark_warm(self.prob)  # device program proven warm
         found = np.asarray(self.batch.has_feasible)
         if not found.any():
             return None
@@ -333,13 +396,14 @@ class FjEngine:
         repl = order[:n_replace]
         weights = [self.obj_weight, 0.1 * self.obj_weight, 0.0]
         states = []
-        for t, i in enumerate(repl):
-            x0 = x_inc if t == 0 else self._perturb(
-                x_inc, 0.05 * (t + 1))
-            states.append(init_state(
-                self.p, x0, int(self.rng.integers(1 << 30)),
-                weights[t % len(weights)],
-            ))
+        with jax.default_device(self.device):
+            for t, i in enumerate(repl):
+                x0 = x_inc if t == 0 else self._perturb(
+                    x_inc, 0.05 * (t + 1))
+                states.append(init_state(
+                    self.p, x0, int(self.rng.integers(1 << 30)),
+                    weights[t % len(weights)],
+                ))
         fresh = jax.tree_util.tree_map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *states
         )
@@ -356,22 +420,35 @@ class FjEngine:
             h = getattr(host, name)
             f = getattr(fresh, name)
             merged[name] = jnp.asarray(h) if name in keep else merge(h, f)
-        self.batch = FjState(**merged)
+        self.batch = jax.device_put(FjState(**merged), self.device)
+
+    def adopt_batch(self, other: "FjEngine"):
+        """Continue another same-shape engine's search on THIS backend
+        (the CPU fast-start -> warm TPU migration, mip/solve.py)."""
+        self.batch = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, other.batch), self.device
+        )
+        self.pushed_obj = min(self.pushed_obj, other.pushed_obj)
+        self.chunks = max(self.chunks, other.chunks)
 
 
 def run_feasibility_jump(
     prob, x_starts, time_budget_s, seed=0, dtype=jnp.float64,
-    steps_per_chunk=64, obj_weight=1e-3,
+    steps_per_chunk=64, obj_weight=1e-3, platform="auto",
 ):
     """One-shot driver over FjEngine: chunk until the time budget is
     spent. The budget clock starts AFTER the first chunk returns, so a
     cold XLA compile (minutes on the remote TPU compiler) never eats the
     climbing time. Returns (best_x, best_obj, found) in the INTERNAL
-    minimize orientation."""
+    minimize orientation. platform='auto' starts on the host until the
+    device program is warm (fj_platform)."""
     import time
 
+    if platform == "auto":
+        platform = fj_platform(prob)
     eng = FjEngine(prob, x_starts, seed=seed, dtype=dtype,
-                   steps_per_chunk=steps_per_chunk, obj_weight=obj_weight)
+                   steps_per_chunk=steps_per_chunk,
+                   obj_weight=obj_weight, platform=platform)
     eng.step()  # compile + first chunk (excluded from the budget)
     t_end = time.monotonic() + time_budget_s
     while time.monotonic() < t_end:

@@ -170,9 +170,13 @@ def recombine(prob, xa, xb, rng, fj_budget_s=0.5, dtype="float64"):
     mix = np.where(rng.uniform(size=len(xa)) < 0.5, xa, xb)
     starts = [mix, (xa + xb) / 2]
     jd = jnp.float64 if dtype == "float64" else jnp.float32
+    # host backend: a sub-second budget is dispatch-latency-bound, and
+    # each recombine solves a DIFFERENT (bound-tightened) problem, so a
+    # fresh device engine's first-chunk sync (1-5s via the tunnel)
+    # would dwarf the budget
     x, obj, found = run_feasibility_jump(
         sub, starts, fj_budget_s, seed=int(rng.integers(1 << 30)),
-        dtype=jd,
+        dtype=jd, platform="cpu",
     )
     if not found:
         return None
@@ -188,7 +192,9 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
     deadline."""
     from cuopt_tpu.mip.feasibility_pump import line_segment_search
     from cuopt_tpu.mip.rounding import lp_completion
+    from cuopt_tpu.utils.logger import get_logger
 
+    log = get_logger()
     rng = rng or np.random.default_rng(0)
     is_int = prob.variable_types == "I"
     mixed = bool(is_int.any()) and not bool(is_int.all())
@@ -196,6 +202,14 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
 
     def left():
         return t_end - time.monotonic()
+
+    def add(x, tag):
+        """pop.add + improvement logging (which move family earned it)."""
+        before = pop.best[0] if pop.best is not None else math.inf
+        got = pop.add(x)
+        if got and pop.best is not None and pop.best[0] < before - 1e-9:
+            log.debug(f"diversity[{tag}] incumbent {pop.best[0]:.6g}")
+        return got
 
     rounds = 0
     while left() > 0 and not timer.expired():
@@ -218,7 +232,7 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                     prob, xn, timer, time_cap=min(2.0, left()),
                 )
                 if xc is not None:
-                    improved |= pop.add(xc)
+                    improved |= add(xc, "dive-completion")
         if mixed and pool and rounds % 2 == 1 and left() > 0.3:
             # local-branching completion: flip a few of the incumbent's
             # binaries and LP-complete the pattern (the strongest primal
@@ -246,7 +260,7 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                 prob, xb, timer, time_cap=min(2.0, left()),
             )
             if xc is not None:
-                improved |= pop.add(xc)
+                improved |= add(xc, "local-branch")
         if pool and rounds % 3 == 0 and left() > 1.0 and \
                 not timer.expired():
             # sub-MIP LNS: exact B&B over a RINS/mutation neighborhood
@@ -255,7 +269,7 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                 budget_s=min(4.0, left()),
             )
             if xs is not None:
-                improved |= pop.add(xs)
+                improved |= add(xs, "submip-lns")
         if use_fj and len(pool) >= 2 and left() > 0.2:
             i, j = rng.choice(len(pool), size=2, replace=False)
             xb = pool[j][1]
@@ -278,13 +292,13 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                     )
                     if xc is not None:
                         child = xc
-                improved |= pop.add(child)
+                improved |= add(child, "recombine")
         if x_relax is not None and pool and left() > 0.1:
             x, obj, found = line_segment_search(
                 prob, x_relax, pool[0][1]
             )
             if found:
-                improved |= pop.add(x)
+                improved |= add(x, "line-segment")
             # RINS-style dive (relaxation-induced neighborhood): fix the
             # integers where the incumbent AGREES with the rounded LP
             # relaxation, bound-prop + FJ the disagreement set — the
@@ -310,14 +324,14 @@ def run_diversity_loop(prob, pop: Population, timer, deadline_s,
                         )
                         if xc is not None:
                             child = xc
-                    improved |= pop.add(child)
+                    improved |= add(child, "rins-recombine")
         if infeas_pool and pool and left() > 0.1:
             # try pulling an infeasible candidate towards the best
             x, obj, found = line_segment_search(
                 prob, infeas_pool[0][1], pool[0][1],
             )
             if found:
-                improved |= pop.add(x)
+                improved |= add(x, "infeas-pull")
         if improved and bnb is not None and pop.best is not None:
             bnb.set_incumbent(pop.best[1], pop.best[0])
         # B&B preemption (reference diversity_manager.cuh:38): when the
@@ -354,19 +368,26 @@ def submip_improve(prob, x_inc, x_relax, rng, timer, budget_s=4.0,
         return None
     x_inc = np.asarray(x_inc, float)
     xi = np.round(x_inc[idx_int])
+    # Neighborhood size: the sub-MIP must be EXACTLY solvable inside its
+    # few-second budget, so cap the freed-integer count — on a
+    # 1,600-integer instance, free_frac alone would free ~300 and the
+    # sub-B&B times out having proven nothing (50v-10 plateau, r05).
+    want = min(96, max(8, int(free_frac * len(idx_int))))
     if x_relax is not None and rng.uniform() < 0.5:
         # RINS: free the integers that DISAGREE with the relaxation
         xr = np.round(np.asarray(x_relax, float)[idx_int])
         free = xi != xr
-        # pad with random frees up to the target fraction
-        want = max(int(free_frac * len(idx_int)), 8)
-        if free.sum() < want:
+        if free.sum() > want:  # keep a random want-sized subset
+            keep = rng.choice(np.flatnonzero(free), size=want,
+                              replace=False)
+            free = np.zeros(len(idx_int), bool)
+            free[keep] = True
+        elif free.sum() < want:
             pool = np.flatnonzero(~free)
             extra = rng.choice(pool, size=min(want - int(free.sum()),
                                               len(pool)), replace=False)
             free[extra] = True
     else:
-        want = max(int(free_frac * len(idx_int)), 8)
         free = np.zeros(len(idx_int), bool)
         free[rng.choice(len(idx_int), size=min(want, len(idx_int)),
                         replace=False)] = True

@@ -197,16 +197,26 @@ def lp_completion(prob, x, timer=None, time_cap=5.0):
                 and prob.n_variables <= 40_000
                 and prob.nnz <= 2_000_000)
         raw = None
+        have_simplex = False
         if fits:
             from cuopt_tpu.dual_simplex import is_available
             from cuopt_tpu.dual_simplex.bindings import solve_lp_simplex
 
             if is_available():
+                have_simplex = True
                 raw = solve_lp_simplex(sub, s, timer)
         if raw is None or raw["status"] not in (
             C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
             C.CUOPT_TERIMINATION_STATUS_INFEASIBLE,
         ):
+            # Device fallback ONLY when no host simplex exists: a cold
+            # PDLP compile for this shape takes tens of seconds and this
+            # helper runs under ~2s caps inside heuristic slices — in
+            # r05 one such fallback blew a 90s solve to 129.8s. With a
+            # simplex present, a limit/unbounded completion is just
+            # discarded.
+            if have_simplex:
+                return None, math.inf
             from cuopt_tpu.lp.pdlp import PdlpSolver
 
             s.method = C.CUOPT_METHOD_PDLP

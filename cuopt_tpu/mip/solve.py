@@ -274,12 +274,16 @@ def _run_mip(prob, settings, timer, log):
 
     mixed = bool(is_int.any()) and not bool(is_int.all())
 
-    # The FJ engine runs CONTINUOUSLY in a background worker thread for
-    # the whole solve: chunk-stepped climbers with incumbent-aware
-    # reseeding, the reference's persistent heuristic GPU stream
-    # (mip/solver.cu:125-190). XLA compiles and device chunks release
-    # the GIL, so the host tree search keeps the foreground. Results
-    # are injected through the (thread-safe) population and
+    # The FJ engine is BUILT AND COMPILED IN THE FOREGROUND (right
+    # after the root relaxation), then stepped continuously by a
+    # background worker thread for the rest of the solve: chunk-stepped
+    # climbers with incumbent-aware reseeding, the reference's
+    # persistent heuristic GPU stream (mip/solver.cu:125-190). Stepping
+    # releases the GIL during device chunks, so the host tree search
+    # keeps the foreground. (In r05 the build itself ran in the thread
+    # and the GIL-heavy trace starved behind B&B node churn — on 50v-10
+    # the engine came up at 38.9s of a 90s budget.) Results are
+    # injected through the (thread-safe) population and
     # bnb.set_incumbent.
     heur_stop = threading.Event()
     heur_done = threading.Event()  # set once the FJ program is compiled
@@ -293,52 +297,73 @@ def _run_mip(prob, settings, timer, log):
         if b is not None:
             b.set_incumbent(x, obj)
 
-    def run_heuristic_engine():
-        from cuopt_tpu.mip.feasibility_jump import FjEngine
+    def _harvest(out):
+        if out is None:
+            return
+        xfj, objfj = out
+        objfj_total = objfj + float(pint.objective_offset)
+        xfj = np.where(is_int, np.round(xfj), xfj)
+        if is_feasible(pint, xfj):
+            # on mixed instances, the climber's continuous part is
+            # whatever the jumps left it at — the LP completion of
+            # its integer pattern is the exact best version
+            if mixed and not timer.expired():
+                xc, objc = lp_completion(pint, xfj, timer,
+                                         time_cap=2.0)
+                if xc is not None and objc < objfj_total:
+                    xfj, objfj_total = xc, objc
+            _push(xfj, objfj_total)
+            log.debug(
+                f"[{timer.elapsed():.1f}s] fj incumbent "
+                f"{objfj_total:.6g}"
+            )
+        else:
+            log.debug(
+                f"[{timer.elapsed():.1f}s] fj candidate "
+                f"{objfj_total:.6g} failed exact recheck"
+            )
 
-        def _harvest(out):
-            if out is None:
-                return
-            xfj, objfj = out
-            objfj_total = objfj + float(pint.objective_offset)
-            xfj = np.where(is_int, np.round(xfj), xfj)
-            if is_feasible(pint, xfj):
-                # on mixed instances, the climber's continuous part is
-                # whatever the jumps left it at — the LP completion of
-                # its integer pattern is the exact best version
-                if mixed and not timer.expired():
-                    xc, objc = lp_completion(pint, xfj, timer,
-                                             time_cap=2.0)
-                    if xc is not None and objc < objfj_total:
-                        xfj, objfj_total = xc, objc
-                _push(xfj, objfj_total)
-                log.debug(
-                    f"[{timer.elapsed():.1f}s] fj incumbent "
-                    f"{objfj_total:.6g}"
-                )
-            else:
-                log.debug(
-                    f"[{timer.elapsed():.1f}s] fj candidate "
-                    f"{objfj_total:.6g} failed exact recheck"
-                )
+    def _build_engine(fj_starts, platform="auto"):
+        from cuopt_tpu.mip.feasibility_jump import FjEngine, fj_platform
 
+        if platform == "auto":
+            platform = fj_platform(pint)
         try:
-            try:
-                eng = FjEngine(pint, starts[:8], dtype=dtype)
-                # the warmup chunk pays the XLA compile — and can
-                # already contain the best solution (cod105's optimum
-                # falls out of the FIRST 64 steps), so harvest it too
-                _harvest(eng.step())
-            except Exception as e:  # must never kill the solve
-                log.warning(f"feasibility jump engine failed: {e}")
-                heur_done.set()
-                return
-            log.debug(f"[{timer.elapsed():.1f}s] fj engine compiled")
-            heur_done.set()
+            log.debug(f"[{timer.elapsed():.1f}s] fj build starting "
+                      f"({platform or 'device'})")
+            eng = FjEngine(pint, fj_starts[:8], dtype=dtype,
+                           platform=platform)
+            log.debug(f"[{timer.elapsed():.1f}s] fj engine built")
+            # the warmup chunk pays the XLA compile — and can already
+            # contain the best solution (cod105's optimum falls out of
+            # the FIRST 64 steps), so harvest it too
+            _harvest(eng.step())
+        except Exception as e:  # must never kill the solve
+            log.warning(f"feasibility jump engine failed: {e}")
+            return None
+        log.debug(f"[{timer.elapsed():.1f}s] fj engine compiled")
+        return eng
+
+    def run_stepping_loop(eng):
+        try:
             pumped = False
             last_inc = math.inf
             since_reseed = 0
             while not heur_stop.is_set() and not timer.expired():
+                # warm-migration: the host fast-start engine hands its
+                # batch to the device engine once its program is warm
+                dev_eng = inject_box.pop("device_eng", None)
+                if dev_eng is not None and \
+                        dev_eng.device.platform != eng.device.platform:
+                    try:
+                        dev_eng.adopt_batch(eng)
+                        eng = dev_eng
+                        log.debug(
+                            f"[{timer.elapsed():.1f}s] fj migrated to "
+                            f"{eng.device.platform}"
+                        )
+                    except Exception as e:
+                        log.debug(f"fj migration failed: {e}")
                 try:
                     out = eng.step()
                 except Exception as e:
@@ -402,14 +427,7 @@ def _run_mip(prob, settings, timer, log):
         finally:
             heur_done.set()
 
-    if want_fj:
-        heur_th = threading.Thread(
-            target=run_heuristic_engine, daemon=True,
-            name="cuopt-mip-heuristics",
-        )
-        heur_th.start()
-    else:
-        heur_done.set()
+    heur_th = None  # started right after the root relaxation
 
     # ---- root LP relaxation ----
     # When the instance fits the native-simplex gate, the root is solved
@@ -526,6 +544,53 @@ def _run_mip(prob, settings, timer, log):
         incumbent = pop.best[1]
     inject_box["seeds"] = relax_starts[:3]
 
+    # ---- heuristic engine: build + remote warmup overlap ----
+    # The first execution of the climber program pays a heavy-tailed
+    # remote warmup (2s..70s observed for the SAME cached program on
+    # this tunnel), so the warmup chunk is dispatched as early as
+    # possible and the worker blocks GIL-FREE in the device sync while
+    # the host runs GMI cut rounds and the B&B. Only the Python TRACING
+    # needs an exclusive window (it starved behind B&B node churn in
+    # r05: engine up at 38.9s of a 90s budget), hence the short bounded
+    # wait. Starting from the RELAXATION-guided roundings matters: on
+    # 50v-10 the very first chunk lands within 2% of the final
+    # incumbent.
+    if want_fj and not timer.expired():
+        def build_and_step():
+            import jax as _jax
+
+            eng = _build_engine(relax_starts + starts)
+            heur_done.set()
+            if eng is None:
+                return
+            if eng.device.platform == "cpu" and \
+                    _jax.default_backend() != "cpu":
+                # warm the device twin in parallel; the stepping loop
+                # migrates onto it when its first chunk returns
+                def warm_device():
+                    dev = _build_engine(relax_starts + starts,
+                                        platform=None)
+                    if dev is not None:
+                        inject_box["device_eng"] = dev
+
+                threading.Thread(
+                    target=warm_device, daemon=True,
+                    name="cuopt-mip-fj-warm",
+                ).start()
+            if not heur_stop.is_set():
+                run_stepping_loop(eng)
+
+        heur_th = threading.Thread(
+            target=build_and_step, daemon=True,
+            name="cuopt-mip-heuristics",
+        )
+        heur_th.start()
+        rem = timer.remaining()
+        head = min(0.15 * rem, 6.0) if math.isfinite(rem) else 6.0
+        heur_done.wait(timeout=max(head, 1.0))
+    else:
+        heur_done.set()
+
     if settings.heuristics_only:
         # evolutionary loop only (reference heuristics_only,
         # mip/solver_settings.hpp); the FJ engine keeps climbing in the
@@ -547,6 +612,8 @@ def _run_mip(prob, settings, timer, log):
                 x_relax=x_relax,
             )
         heur_stop.set()
+        if heur_th is not None:
+            heur_th.join(timeout=15.0)
         if pop.best is not None:
             incumbent_obj, incumbent = pop.best
         if incumbent is not None:
@@ -558,6 +625,38 @@ def _run_mip(prob, settings, timer, log):
             C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT, timer=timer,
         )
 
+    # ---- root GMI cuts (mip/cuts.py): lift the tree's LP bound ----
+    # The FJ engine keeps stepping in the background (device chunks
+    # release the GIL; the cut rounds are host simplex + numpy).
+    prob_tree = pint
+    if root is not None and not simplex_stalled and \
+            math.isfinite(root_bound) and not timer.expired():
+        from cuopt_tpu.mip.cuts import strengthen_root
+
+        try:
+            rem = timer.remaining()
+            cut_timer = Timer(min(0.2 * rem, 20.0)
+                              if math.isfinite(rem) else 20.0)
+            prob_cut, cut_bound, n_cuts, x_cut = strengthen_root(
+                pint, settings, cut_timer, log,
+            )
+            if prob_cut is not None and cut_bound > root_bound:
+                prob_tree = prob_cut
+                root_bound = cut_bound
+                log.debug(
+                    f"[{timer.elapsed():.1f}s] root cuts: {n_cuts} gmi "
+                    f"rows, bound -> {root_bound:.6g}"
+                )
+                if x_cut is not None:
+                    # the cut-LP optimum is far closer to integrality
+                    # than the plain root — better RINS/rounding guide
+                    x_relax = x_cut
+                    inject_box["x_relax"] = x_cut
+                    inject_box["seeds"] = make_roundings(
+                        pint, x_cut, n_random=2)[:3]
+        except Exception as e:  # pragma: no cover
+            log.warning(f"root cut strengthening failed: {e}")
+
     # ---- branch & bound interleaved with the evolutionary loop ----
     # (reference mip/solver.cu:125-190 runs B&B via std::async alongside
     # GPU heuristics — two CUDA streams. On a host-driven tree the same
@@ -567,7 +666,7 @@ def _run_mip(prob, settings, timer, log):
     # tree (round-3 threaded version starved to nodes=0 under load).
     import time as _time
 
-    bnb = BranchAndBound(pint, settings, probe_cache=probe_cache)
+    bnb = BranchAndBound(prob_tree, settings, probe_cache=probe_cache)
     if simplex_stalled:
         # the root stalled inside its simplex budget (degenerate LP);
         # node relaxations would stall the same way — run the tree on
@@ -589,11 +688,26 @@ def _run_mip(prob, settings, timer, log):
         if concurrent:
             slice_no = 1
             heur_share = 0.35  # fraction of each round spent evolving
+            # bound-progress tracking: when the tree stops raising the
+            # global bound (50v-10: +70 over 9k nodes while the primal
+            # side was still descending), shift the clock toward the
+            # heuristics — the reference gets this balance for free from
+            # two independent streams; a time-sliced host must adapt
+            bound_hist = []
             while not timer.expired():
                 bnb_slice = min(4.0, max(0.5, timer.remaining() * 0.5))
+                bnb_slice *= (1.0 - heur_share) / 0.65
                 done = bnb.step(
                     timer, deadline=_time.monotonic() + bnb_slice
                 )
+                bound_hist.append(bnb.best_bound)
+                if len(bound_hist) >= 6 and math.isfinite(bound_hist[-1]):
+                    prev = bound_hist[-6]
+                    scale = max(1.0, abs(incumbent_obj)
+                                if math.isfinite(incumbent_obj)
+                                else abs(bound_hist[-1]))
+                    stalled = (bound_hist[-1] - prev) < 1e-4 * scale
+                    heur_share = 0.6 if stalled else 0.35
                 if pop.best is not None:
                     bnb.set_incumbent(pop.best[1], pop.best[0])
                 if done:
@@ -626,6 +740,11 @@ def _run_mip(prob, settings, timer, log):
         res = None
     finally:
         heur_stop.set()  # discard late heuristic pushes
+        # join the worker before returning: a daemon thread killed at
+        # interpreter exit mid-device-call aborts the process ("FATAL:
+        # exception not rethrown" from the runtime's pthread teardown)
+        if heur_th is not None:
+            heur_th.join(timeout=15.0)
     if res is None:
         res = dict(status=C.CUOPT_TERIMINATION_STATUS_TIME_LIMIT,
                    incumbent=bnb.incumbent, incumbent_obj=bnb.incumbent_obj,
