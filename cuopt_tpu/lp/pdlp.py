@@ -295,6 +295,23 @@ def _take_step(dev: DeviceProblem, s: SolverState, cfg: StaticCfg):
                 0.5 / omega * dy_dot
             xx = jnp.dot(x_new, x_new)
             yy = jnp.dot(y_new, y_new)
+        elif getattr(dev.op, "halo_meta", None) is not None:
+            # single-exchange sharded attempt (sparse/ops.py
+            # halo_attempt): 2 ppermutes + 1 packed psum per attempt
+            from cuopt_tpu.sparse.ops import halo_attempt
+
+            sent = big / 8.0 / jnp.maximum(sigma, 1.0)
+            lc0m = jnp.where(dev.lc_fin, dev.lc0, -sent)
+            uc0m = jnp.where(dev.uc_fin, dev.uc0, sent)
+            x_new, y_new, ax_new, aty_new, sums = halo_attempt(
+                dev.op, s.x, s.aty, dev.c, dev.lv, dev.uv,
+                s.ax, s.y, lc0m, uc0m, tau, sigma, omega,
+            )
+            dxdx, xx, dydy, inter_raw, yy = (
+                sums[0], sums[1], sums[2], sums[3], sums[4],
+            )
+            interaction = jnp.abs(inter_raw)
+            movement = 0.5 * omega * dxdx + 0.5 / omega * dydy
         else:
             ax_new = dev.op.matvec(x_new)
             ax_tilde = 2.0 * ax_new - s.ax

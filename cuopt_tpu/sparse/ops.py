@@ -246,6 +246,13 @@ class BlockBandOp(LinearOperator):
     # sharding constraints stop GSPMD from "solving" the gather by
     # replicating the whole y-space (which would kill scaling).
     mesh: object = struct.field(pytree_node=False, default=None)
+    # Fused-attempt halo extension (build_halo_extension): per-device
+    # row slabs WIDENED by ty tiles each side so one PDHG attempt needs
+    # a single neighbor exchange (see halo_attempt) instead of separate
+    # x- and y-halo rounds. halo_meta = (D, Lr, Lc, Hx, Hy, ty) static.
+    ext_row_slabs: jax.Array = None   # (D, Tpd + 2*ty, tile, w_row)
+    ext_row_starts: jax.Array = None  # (D, Tpd + 2*ty) int32
+    halo_meta: tuple = struct.field(pytree_node=False, default=None)
 
     @property
     def shape(self):
@@ -348,6 +355,72 @@ class BlockBandOp(LinearOperator):
             in_specs=(P(axis), P(axis, None, None), P(axis)),
             out_specs=P(axis),
         )(v, slabs, starts_arr)
+
+    def build_halo_extension(self):
+        """Precompute the single-exchange attempt layout (host side;
+        requires `mesh` already set). Returns a new op with
+        ext_row_slabs / ext_row_starts / halo_meta populated, or `self`
+        unchanged when a static gate fails (the caller falls back to
+        the two-exchange GSPMD path).
+
+        Layout: device d owns rows [d*Lr, (d+1)*Lr) and cols
+        [d*Lc, (d+1)*Lc). Its col tiles read y over at most Hy = ty*tile
+        rows beyond the block, so the attempt computes y_new REDUNDANTLY
+        on those rows, which needs ax_new there, which needs the row
+        slabs for ty extra tiles per side (stored here, zero-padded at
+        the boundary) and x_new over an Hx-wide column halo."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        if mesh is None:
+            return self
+        D = int(mesh.devices.size)
+        tile = self.tile
+        T = len(self.row_starts)
+        Tc = len(self.col_starts)
+        if (D <= 1 or self.n_rows % (tile * D) or self.n_cols % D
+                or T % D or self.n_rows != T * tile
+                or Tc % D or self.n_cols != Tc * tile
+                or self.spill_vals.shape[0]
+                or self.t_spill_vals.shape[0]):
+            return self
+        Lr = self.n_rows // D
+        Lc = self.n_cols // D
+        Hcol = self._halo_reach(self.col_starts, self.w_col,
+                                self.n_rows, D)
+        if Hcol is None:
+            return self
+        ty = -(-Hcol // tile)
+        Hy = ty * tile
+        if Hy > Lr:
+            return self
+        Tpd = T // D
+        rs = np.asarray(self.row_starts, np.int64)
+        slabs = np.asarray(self.row_slabs)
+        ext_slabs = np.zeros((D, Tpd + 2 * ty, tile, self.w_row),
+                             slabs.dtype)
+        ext_starts = np.zeros((D, Tpd + 2 * ty), np.int32)
+        Hx = 0
+        for d in range(D):
+            lo_t, hi_t = d * Tpd - ty, (d + 1) * Tpd + ty
+            for p, t in enumerate(range(lo_t, hi_t)):
+                if 0 <= t < T:
+                    ext_slabs[d, p] = slabs[t]
+                    ext_starts[d, p] = rs[t]
+                    Hx = max(Hx, d * Lc - int(rs[t]),
+                             int(rs[t]) + self.w_row - (d + 1) * Lc)
+        Hx = max(Hx, 0)
+        if Hx > Lc:
+            return self
+        row4 = NamedSharding(mesh, P(mesh.axis_names[0],
+                                     None, None, None))
+        row2 = NamedSharding(mesh, P(mesh.axis_names[0], None))
+        return self.replace(
+            ext_row_slabs=jax.device_put(jnp.asarray(ext_slabs), row4),
+            ext_row_starts=jax.device_put(jnp.asarray(ext_starts),
+                                          row2),
+            halo_meta=(D, Lr, Lc, Hx, Hy, ty),
+        )
 
     def matvec(self, x):
         out = None
@@ -480,6 +553,119 @@ class BlockBandOp(LinearOperator):
                 num_segments=self.n_cols, indices_are_sorted=True,
             ), 0.0))
         return r
+
+
+def halo_attempt(op: BlockBandOp, x, aty, c, lv, uv, ax, y,
+                 lc0m, uc0m, tau, sigma, omega):
+    """One full PDHG attempt with a SINGLE neighbor halo exchange.
+
+    The two-exchange form (x-halo before A x_new, y-halo before
+    A^T y_new) costs 4 collective-permutes + 1 packed all-reduce per
+    step — 5.33 collectives/step in the WEAKSCALING_r05 HLO inventory,
+    the dominant ICI-latency term of the weak-scaling model. Here the
+    halos of (x, aty, c, lv, uv) and (ax, y, lc0m, uc0m) ride ONE
+    concatenated ppermute per direction at attempt start; y_new is then
+    computed REDUNDANTLY on the Hy extended rows (using the pre-widened
+    `ext_row_slabs`), so A^T needs no second exchange: 2 permutes +
+    1 all-reduce = ~3 collectives/step.
+
+    Returns (x_new, y_new, ax_new, aty_new, sums) with sums the packed
+    scalar reductions [dx.dx, x_new.x_new, dy.dy, dy.(ax_new-ax),
+    y_new.y_new] (replicated). Inputs are P(axis)-sharded vectors;
+    tau/sigma/omega replicated scalars. lc0m/uc0m are the
+    sentinel-masked row bounds (infinite sides pushed to +-sent).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh = op.mesh
+    axis = mesh.axis_names[0]
+    D, Lr, Lc, Hx, Hy, ty = op.halo_meta
+    tile, w_row, w_col = op.tile, op.w_row, op.w_col
+    col_starts = jnp.asarray(op.col_starts, jnp.int32)
+
+    def body(x, aty, c, lv, uv, ax, y, lc0m, uc0m,
+             eslabs, estarts, cslabs, cstarts, tau, sigma, omega):
+        d = jax.lax.axis_index(axis)
+        eslabs = eslabs[0]
+        estarts = estarts[0]
+        fwd = [(i, i + 1) for i in range(D - 1)]
+        bwd = [(i + 1, i) for i in range(D - 1)]
+        xs = (x, aty, c, lv, uv)
+        ys = (ax, y, lc0m, uc0m)
+        tails = [v[-Hx:] for v in xs] + [v[-Hy:] for v in ys]
+        heads = [v[:Hx] for v in xs] + [v[:Hy] for v in ys]
+        left = jax.lax.ppermute(jnp.concatenate(tails), axis, fwd)
+        right = jax.lax.ppermute(jnp.concatenate(heads), axis, bwd)
+
+        def split(buf):
+            outs, o = [], 0
+            for v in xs:
+                outs.append(buf[o:o + Hx]); o += Hx
+            for v in ys:
+                outs.append(buf[o:o + Hy]); o += Hy
+            return outs
+
+        L5, R5 = split(left), split(right)
+        def ext(i, v, H):
+            return jnp.concatenate([L5[i], v, R5[i]]) if H else v
+
+        x_e, aty_e, c_e, lv_e, uv_e = (
+            ext(i, v, Hx) for i, v in enumerate(xs))
+        ax_e, y_e, lc0m_e, uc0m_e = (
+            ext(5 + i, v, Hy) for i, v in enumerate(ys))
+
+        # primal step on the extended column range
+        x_new_e = jnp.clip(x_e - tau * (c_e - aty_e), lv_e, uv_e)
+        # A x_new over the widened row tiles (zero slabs at boundary)
+        vp = jnp.concatenate([x_new_e, jnp.zeros((w_row,), x.dtype)])
+        off = estarts - (d * jnp.int32(Lc) - jnp.int32(Hx))
+        idx = off[:, None] + jnp.arange(w_row, dtype=jnp.int32)[None]
+        win = vp[idx]
+        ax_new_e = jnp.einsum(
+            "trw,tw->tr", eslabs, win,
+            preferred_element_type=eslabs.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1)                       # (Lr + 2*Hy,)
+        # dual prox on the extended row range
+        ax_tilde = 2.0 * ax_new_e - ax_e
+        y_low = y_e + sigma * (lc0m_e - ax_tilde)
+        y_high = y_e + sigma * (uc0m_e - ax_tilde)
+        y_new_e = jnp.where(
+            y_low > 0.0, y_low, jnp.where(y_high < 0.0, y_high, 0.0)
+        )
+        # A^T y_new over OWN col tiles reading the extended y
+        vp2 = jnp.concatenate([y_new_e, jnp.zeros((w_col,), y.dtype)])
+        off2 = cstarts - (d * jnp.int32(Lr) - jnp.int32(Hy))
+        idx2 = off2[:, None] + jnp.arange(w_col, dtype=jnp.int32)[None]
+        aty_new = jnp.einsum(
+            "trw,tw->tr", cslabs, vp2[idx2],
+            preferred_element_type=cslabs.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1)[:Lc]
+        # owned slices + the packed scalar reductions (ONE all-reduce)
+        x_new = x_new_e[Hx:Hx + Lc] if Hx else x_new_e
+        ax_new = ax_new_e[Hy:Hy + Lr] if Hy else ax_new_e
+        y_new = y_new_e[Hy:Hy + Lr] if Hy else y_new_e
+        dx = x_new - x
+        dy = y_new - y
+        parts = jnp.stack([
+            jnp.dot(dx, dx), jnp.dot(x_new, x_new), jnp.dot(dy, dy),
+            jnp.dot(dy, ax_new - ax), jnp.dot(y_new, y_new),
+        ])
+        sums = jax.lax.psum(parts, axis)
+        return x_new, y_new, ax_new, aty_new, sums
+
+    pA = P(axis)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pA, pA, pA, pA, pA, pA, pA, pA, pA,
+                  P(axis, None, None, None), P(axis, None),
+                  P(axis, None, None), pA, P(), P(), P()),
+        out_specs=(pA, pA, pA, pA, P()),
+        check_vma=False,
+    )(x, aty, c, lv, uv, ax, y, lc0m, uc0m,
+      op.ext_row_slabs, op.ext_row_starts, op.col_slabs, col_starts,
+      tau, sigma, omega)
 
 
 @struct.dataclass

@@ -36,8 +36,8 @@ def main():
     import numpy as np
 
     from cuopt_tpu import constants as C
-    from cuopt_tpu.lp.pdlp import PdlpSolver
     from cuopt_tpu.lp.settings import PDLPSolverSettings
+    from cuopt_tpu.lp.solve import solve_lp
     from cuopt_tpu.problem.mittelmann import GENERATORS
 
     results = []
@@ -46,11 +46,17 @@ def main():
         prob = gen(args.scale, 0)
         gen_s = time.perf_counter() - t0
         s = PDLPSolverSettings()
+        # Concurrent (reference solve.cu:467): the host dual simplex
+        # races TPU PDLP — degenerate families (degen-transport spun
+        # 483k PDHG iterations into the r05 time limit) fall to the
+        # simplex in seconds, huge well-conditioned ones to PDLP
+        s.method = C.CUOPT_METHOD_CONCURRENT
         s.set_optimality_tolerance(args.tol)
         s.time_limit = args.time_limit
         s.dtype = "float32"
         t0 = time.perf_counter()
-        raw = PdlpSolver(prob, s).run()
+        sol = solve_lp(prob, s)
+        raw = sol._raw
         _ = np.asarray(raw["primal_solution"][:4])  # tunnel sync
         wall = time.perf_counter() - t0
         r = {
@@ -63,6 +69,7 @@ def main():
             "objective": float(raw["primal_objective"]),
             "iterations": int(raw["iterations"]),
             "wall_s": round(wall, 2),
+            "solved_by": raw.get("solved_by", "pdlp"),
             "compile_s": raw.get("compile_s"),
             "solve_loop_s": raw.get("solve_loop_s"),
         }

@@ -256,7 +256,7 @@ def analyze_hlo(n_dev=8, rows_per_dev=4096, band=256):
     # comm bytes/latency per step are size-independent for the gathered
     # window form, so efficiency climbs with per-device work)
     scale_curve = {}
-    for mult in (1, 4, 16, 64):
+    for mult in (1, 2, 4, 16, 64):
         h = hbm_t * mult
         b = ici_bw_t * mult  # all-gather bytes grow with vector size
         scale_curve[f"{rows_per_dev * mult}_rows_per_dev"] = round(

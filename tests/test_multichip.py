@@ -350,10 +350,58 @@ def _check_mesh2d():
     print("MESH2D_OK")
 
 
+def _check_halo_attempt():
+    """Single-exchange fused attempt (sparse/ops.py halo_attempt) ==
+    single-device reference: same step count, matching KKT. The gate
+    needs per-device blocks wider than the halo, so this uses 2048
+    rows/device (the small sizes in _check_equality fall back to the
+    two-exchange GSPMD path and never exercise it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuopt_tpu.lp.hyper_params import PRESETS
+    from cuopt_tpu.lp.pdlp import (
+        StaticCfg,
+        build_device_problem,
+        initial_state,
+        make_major_fn,
+    )
+    from cuopt_tpu.lp.settings import PDLPSolverSettings
+    from cuopt_tpu.parallel import make_mesh, shard_problem_and_state
+    from cuopt_tpu.problem.synthetic import generate_lp
+
+    s = PDLPSolverSettings()
+    hp = PRESETS[s.pdlp_solver_mode]
+    t = s.tolerances
+    cfg = StaticCfg(
+        hp=hp, abs_primal=t.absolute_primal_tolerance,
+        rel_primal=t.relative_primal_tolerance,
+        abs_dual=t.absolute_dual_tolerance,
+        rel_dual=t.relative_dual_tolerance,
+        abs_gap=t.absolute_gap_tolerance,
+        rel_gap=t.relative_gap_tolerance, fused_kernel="off",
+    )
+    prob = generate_lp(16384, 16384, 8, seed=123, band=256)
+    dev = build_device_problem(prob, hp, jnp.float32, "blockband")
+    st = initial_state(dev, hp, jnp.float32)
+    mesh = make_mesh(8)
+    devs, sts = shard_problem_and_state(dev, st, mesh)
+    assert devs.op.halo_meta is not None, "halo extension not built"
+    fn = make_major_fn(cfg)
+    st1, rep1 = fn(dev, st)
+    sts, reps = fn(devs, sts)
+    assert int(reps["total_steps"]) == int(rep1["total_steps"])
+    k1, k8 = float(rep1["kkt_cur"]), float(reps["kkt_cur"])
+    assert abs(k8 - k1) < 1e-2 * max(1.0, abs(k1)), (k1, k8)
+    print("HALO_OK")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "equality":
         _check_equality(sys.argv[2])
+    elif mode == "halo":
+        _check_halo_attempt()
     elif mode == "fullsolve":
         _check_fullsolve()
     elif mode == "frontier":
@@ -380,6 +428,14 @@ def test_sharded_routing_islands():
     across chips; reference diverse_solver.hpp:151 island model)."""
     out = _run_cpu8("islands", timeout=900)
     assert "ISLANDS_OK" in out, out[-2000:]
+
+
+def test_halo_attempt_equality():
+    """The single-exchange fused PDHG attempt matches the single-device
+    step trajectory (2 ppermutes + 1 packed psum per step — the
+    weak-scaling collective budget, WEAKSCALING_r05)."""
+    out = _run_cpu8("halo", timeout=900)
+    assert "HALO_OK" in out, out[-2000:]
 
 
 def test_two_axis_mesh_hierarchical_reduction():
