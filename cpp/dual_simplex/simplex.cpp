@@ -191,10 +191,14 @@ class DualSimplex {
           // optimal under the PERTURBED costs: restore the true ones
           // and run a short repair/pivot tail under them
           perturbed_ = false;
-          c_ = p_.c;
+          RestoreCosts();
           ComputeDualsAndPrices();
           RepairDualFeasibility();
           continue;
+        }
+        if (ReleaseParkedFree()) {
+          ComputeXb();
+          continue;  // a parked free column matters after all
         }
         {
           // optimality may not be claimed with a nonfinite basic value
@@ -398,10 +402,18 @@ class DualSimplex {
   void InitBounds() {
     lo_ = p_.lo;
     up_ = p_.up;
-    c_ = p_.c;
+    RestoreCosts();
     used_big_bounds_ = false;
     perturbed_ = false;
+    shift_rounds_ = 0;
     fake_bound_.assign(nt_, 0);
+  }
+
+  // working costs: structurals from p_.c, slacks 0 — both shiftable
+  // (dual phase-1 by cost shifting, see RepairDualFeasibility)
+  void RestoreCosts() {
+    c_.assign(nt_, 0.0);
+    std::copy(p_.c.begin(), p_.c.end(), c_.begin());
   }
 
   // Cost perturbation (dual anti-degeneracy). Massively degenerate LPs
@@ -590,21 +602,68 @@ class DualSimplex {
         }
       }
     }
-    // any nonbasic without a finite bound on its placed side gets a
-    // temporary big bound (flagged)
+    // Nonbasics placed on an infinite side: semi-bounded ones flip to
+    // their finite side (dual repair shifts the cost if that side is
+    // dual-infeasible); LEFTOVER FREE columns are PARKED fixed at 0
+    // (fake_bound_=2). A fixed column is always dual-feasible and is
+    // never selected by the ratio test, so it stays parked; if its
+    // true reduced cost is nonzero at the optimality claim,
+    // ReleaseParkedFree falls back to the old big-bound treatment for
+    // just that column (rare). This replaces the blanket ±kBig bounds
+    // the old code used — the reference's phase-1 territory
+    // (dual_simplex/phase1.cpp).
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
-      if (at_lower_[j] && !std::isfinite(lo_[j])) {
-        lo_[j] = -kBig;
-        used_big_bounds_ = true;
-        fake_bound_[j] = 1;
-      }
-      if (at_upper_[j] && !std::isfinite(up_[j])) {
-        up_[j] = kBig;
-        used_big_bounds_ = true;
-        fake_bound_[j] = 1;
+      const bool lofin = std::isfinite(lo_[j]);
+      const bool upfin = std::isfinite(up_[j]);
+      if (at_lower_[j] && !lofin) {
+        if (upfin) {
+          at_lower_[j] = 0;
+          at_upper_[j] = 1;
+        } else {
+          lo_[j] = up_[j] = 0.0;
+          fake_bound_[j] = 2;
+        }
+      } else if (at_upper_[j] && !upfin) {
+        if (lofin) {
+          at_upper_[j] = 0;
+          at_lower_[j] = 1;
+        } else {
+          lo_[j] = up_[j] = 0.0;
+          at_upper_[j] = 0;
+          at_lower_[j] = 1;
+          fake_bound_[j] = 2;
+        }
       }
     }
+  }
+
+  // At the optimality claim: a PARKED free column (fixed at 0,
+  // fake_bound_=2) whose true reduced cost is decisively nonzero must
+  // be freed — it gets the legacy big-bound treatment on its
+  // dual-feasible side and the main loop resumes (its movement either
+  // re-optimizes or exposes unboundedness via BigBoundActive).
+  bool ReleaseParkedFree() {
+    bool any = false;
+    for (int j = 0; j < nt_; ++j) {
+      if (in_basis_[j] || fake_bound_[j] != 2) continue;
+      if (std::fabs(dj_[j]) <= 1e-7) continue;
+      fake_bound_[j] = 1;
+      used_big_bounds_ = true;
+      if (dj_[j] < 0) {  // wants to increase: park at +kBig (d<=0 ok)
+        lo_[j] = -kInf;
+        up_[j] = kBig;
+        at_lower_[j] = 0;
+        at_upper_[j] = 1;
+      } else {           // wants to decrease: park at -kBig (d>=0 ok)
+        up_[j] = kInf;
+        lo_[j] = -kBig;
+        at_upper_[j] = 0;
+        at_lower_[j] = 1;
+      }
+      any = true;
+    }
+    return any;
   }
 
   bool Refactorize() {
@@ -643,10 +702,9 @@ class DualSimplex {
         in_basis_[out] = 0;
         if (std::isfinite(lo_[out])) at_lower_[out] = 1;
         else if (std::isfinite(up_[out])) at_upper_[out] = 1;
-        else {
-          lo_[out] = -kBig;
-          used_big_bounds_ = true;
-          fake_bound_[out] = 1;
+        else {  // evicted free column: park fixed at 0 (see InitBasis)
+          lo_[out] = up_[out] = 0.0;
+          fake_bound_[out] = 2;
           at_lower_[out] = 1;
         }
         // the replacement slack may be nonbasic: pull it in
@@ -681,7 +739,7 @@ class DualSimplex {
     y_.assign(m_, 0.0);
     for (int i = 0; i < m_; ++i) {
       const int j = basis_[i];
-      if (j < p_.n) y_[i] = c_[j];
+      y_[i] = c_[j];
     }
     // y holds c_B in basis-position order; but Btran wants row-space rhs.
     // c_B is indexed by basis POSITION and B^T y = c_B couples position k
@@ -694,7 +752,7 @@ class DualSimplex {
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
       double s;
-      double cj = (j < p_.n) ? c_[j] : 0.0;
+      const double cj = c_[j];
       if (j < p_.n) {
         s = 0.0;
         for (int k = p_.col_ptr[j]; k < p_.col_ptr[j + 1]; ++k)
@@ -707,15 +765,28 @@ class DualSimplex {
   }
 
   // Dual feasibility repair: a nonbasic at the wrong bound for its
-  // reduced-cost sign is flipped to the other bound when finite; when
-  // infinite it gets a temporary big bound on the required side.
+  // reduced-cost sign is flipped to the other bound when finite. When
+  // the other side is INFINITE the cost is SHIFTED instead (dual
+  // phase-1 by cost shifting, the Koberstein/HiGHS device; reference
+  // runs a composite-objective phase-1, dual_simplex/phase1.cpp): the
+  // shifted d_j becomes a harmless +-eps, the true costs return at the
+  // optimality claim (same restore loop as the anti-degeneracy
+  // perturbation), and the shifted column has usually entered the
+  // basis by then. Temporary kBig bounds remain only as a last resort
+  // after `kMaxShiftRounds` restore loops failed to converge.
   void RepairDualFeasibility() {
+    const bool allow_shift = shift_rounds_ < kMaxShiftRounds;
+    bool shifted = false;
     for (int j = 0; j < nt_; ++j) {
       if (in_basis_[j]) continue;
       if (at_lower_[j] && dj_[j] < -kDualTol) {
         if (std::isfinite(up_[j])) {
           at_lower_[j] = 0;
           at_upper_[j] = 1;
+        } else if (allow_shift) {
+          c_[j] += -dj_[j] + kShiftEps;  // d_j -> +eps, stay at lower
+          dj_[j] = kShiftEps;
+          shifted = true;
         } else {
           up_[j] = kBig;
           used_big_bounds_ = true;
@@ -727,6 +798,10 @@ class DualSimplex {
         if (std::isfinite(lo_[j])) {
           at_upper_[j] = 0;
           at_lower_[j] = 1;
+        } else if (allow_shift) {
+          c_[j] -= dj_[j] + kShiftEps;  // d_j -> -eps, stay at upper
+          dj_[j] = -kShiftEps;
+          shifted = true;
         } else {
           lo_[j] = -kBig;
           used_big_bounds_ = true;
@@ -735,6 +810,10 @@ class DualSimplex {
           at_lower_[j] = 1;
         }
       }
+    }
+    if (shifted) {
+      ++shift_rounds_;
+      perturbed_ = true;  // the optimality claim restores + re-repairs
     }
     ComputeXb();  // placements changed
   }
@@ -810,6 +889,10 @@ class DualSimplex {
     return status;
   }
 
+ public:
+  bool used_big_bounds() const { return used_big_bounds_; }
+
+ private:
   const Problem& p_;
   int m_, nt_;
   SparseLU lu_;
@@ -822,6 +905,10 @@ class DualSimplex {
   std::vector<uint8_t> pref_lower_;
   bool crash_used_ = false;
   bool used_big_bounds_ = false;
+  // dual phase-1 cost shifting (RepairDualFeasibility)
+  static constexpr double kShiftEps = 1e-7;
+  static constexpr int kMaxShiftRounds = 8;
+  int shift_rounds_ = 0;
   std::vector<uint8_t> fake_bound_;  // sentinel ±kBig bound holders
 };
 
@@ -992,11 +1079,13 @@ int ds_solve_adv(int m, int n, const int64_t* col_ptr,
   std::vector<double> x, y, dj;
   std::vector<int8_t> vstat;
   int iters = 0;
+  extern std::atomic<int> g_last_used_big_bounds;
   const int status = solver.Solve(
       time_limit, iter_limit,
       reinterpret_cast<const volatile int*>(halt), vstat_in,
       x_hint ? xh.data() : nullptr, y_hint ? yh.data() : nullptr,
       &x, &y, &dj, vstat_out ? &vstat : nullptr, &iters);
+  g_last_used_big_bounds = solver.used_big_bounds() ? 1 : 0;
   // unscale: x = C x', y = R y', dj = dj' / C
   for (int j = 0; j < n; ++j) x[j] *= ps.colscale[j];
   for (int i = 0; i < m; ++i) y[i] *= ps.rowscale[i];
@@ -1023,6 +1112,15 @@ void ds_set_options(double piv_tol, double feas_tol, double dual_tol,
   if (refactor_freq > 0) tpu_simplex::kRefactorFreq = refactor_freq;
   if (big_bound > 0) tpu_simplex::kBig = big_bound;
 }
+
+// Diagnostic: whether the LAST ds_solve_adv call in this process fell
+// back to temporary kBig bounds for any free column (the reference
+// avoids this with a real phase-1, dual_simplex/phase1.cpp; this
+// engine instead places free columns in the initial basis — the
+// fallback should stay cold, and tests assert it).
+std::atomic<int> g_last_used_big_bounds{0};
+
+int ds_last_used_big_bounds() { return g_last_used_big_bounds.load(); }
 
 void ds_get_options(double* out5) {
   out5[0] = tpu_simplex::kPivTol;

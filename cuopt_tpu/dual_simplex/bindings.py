@@ -243,6 +243,18 @@ def set_simplex_options(pivot_tolerance=None, primal_feasibility_tolerance=None,
     )
 
 
+def last_used_big_bounds() -> bool:
+    """Whether the LAST native solve fell back to temporary kBig bounds
+    for a free column (the reference's phase-1 territory,
+    dual_simplex/phase1.cpp; here free columns enter the initial basis
+    instead and tests assert this stays False)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "ds_last_used_big_bounds"):
+        return False
+    lib.ds_last_used_big_bounds.restype = ctypes.c_int
+    return bool(lib.ds_last_used_big_bounds())
+
+
 def get_simplex_options() -> dict:
     lib = load_library()
     lib.ds_get_options.restype = None

@@ -426,3 +426,9 @@ def test_free_variable_lps_exact_duals():
         # strong duality: c^T x == dual objective (both reported equal)
         obj = float(p.objective_coefficients @ x + p.objective_offset)
         assert abs(obj - raw["primal_objective"]) < 1e-6 * (1 + abs(obj))
+        # the engine must never have fallen back to temporary kBig
+        # bounds on these (VERDICT r04 #5: zero big-bound activations —
+        # free columns enter the initial basis instead of a phase-1)
+        from cuopt_tpu.dual_simplex.bindings import last_used_big_bounds
+
+        assert not last_used_big_bounds(), name
