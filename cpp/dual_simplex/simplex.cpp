@@ -243,6 +243,9 @@ class DualSimplex {
           continue;
         }
         if (violation < 1e-6) { status = kOptimal; break; }
+        if (std::getenv("DS_DEBUG"))
+          std::fprintf(stderr, "[ds] iter %d infeasible: empty cand, row %d"
+                       " viol %g\n", iter, r, violation);
         status = kInfeasible;  // dual ray certifies primal infeasibility
         break;
       }
@@ -279,6 +282,10 @@ class DualSimplex {
           ComputeDualsAndPrices();
           continue;
         }
+        if (std::getenv("DS_DEBUG"))
+          std::fprintf(stderr, "[ds] iter %d infeasible: all %zu cands"
+                       " flip, viol left %g\n", iter, cand.size(),
+                       remaining);
         status = kInfeasible;
         break;
       }
@@ -812,6 +819,8 @@ class DualSimplex {
       }
     }
     if (shifted) {
+      if (std::getenv("DS_DEBUG"))
+        std::fprintf(stderr, "[ds] cost shift round %d\n", shift_rounds_);
       ++shift_rounds_;
       perturbed_ = true;  // the optimality claim restores + re-repairs
     }

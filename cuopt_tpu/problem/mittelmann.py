@@ -196,11 +196,21 @@ def degenerate_transport(n_src=400, n_dst=400, seed=0):
     rng = np.random.default_rng(seed)
     S, D = n_src, n_dst
     sup = rng.integers(5, 50, S).astype(float)
-    dem_frac = rng.dirichlet(np.ones(D))
-    dem = np.floor(dem_frac * sup.sum()).astype(float)
-    dem[0] += sup.sum() - dem.sum()
     # only k nearest destinations reachable per source (sparse)
     k = max(8, D // 20)
+    # Demands are the inflows of an explicit random feasible flow over
+    # the REACHABLE arcs — dirichlet demands drawn independently of the
+    # sparse reachability violated the interval Hall condition on some
+    # seeds (seed 3 at scale 800: a 172-destination interval needed
+    # 5430 against 5067 reachable supply), making the instance
+    # infeasible while the benchmarks expected OPTIMAL.
+    dem = np.zeros(D)
+    for s in range(S):
+        ds = (np.arange(s, s + k) % D)
+        w = rng.dirichlet(np.ones(k))
+        flow = np.floor(w * sup[s])
+        flow[0] += sup[s] - flow.sum()
+        np.add.at(dem, ds, flow)
     rr, cc, vv = [], [], []
     col = 0
     cols_of = []
