@@ -13,7 +13,9 @@ checks the simplex-finished event between major iterations.
 from __future__ import annotations
 
 import ctypes
+import math
 import threading
+import time
 
 from cuopt_tpu import constants as C
 from cuopt_tpu.lp.pdlp import PdlpSolver
@@ -48,6 +50,32 @@ def run_concurrent(prob, settings, timer):
 
     solver = PdlpSolver(prob, settings)
     pdlp_raw = None
+
+    # Grace poll BEFORE touching the device: the first major call blocks
+    # in the XLA compile (minutes cold via the tunnel), during which a
+    # simplex win would sit unnoticed — on small/degenerate LPs (the
+    # cases the simplex exists for) that turned a 0.3s win into a
+    # minutes-long wall. The reference's two legs are independent threads
+    # (solve.cu:467); here the PDLP leg simply yields first.
+    grace_end = time.monotonic() + min(
+        3.0, 0.2 * settings.time_limit
+        if math.isfinite(settings.time_limit) else 3.0,
+    )
+    while time.monotonic() < grace_end:
+        if simplex_done.wait(timeout=0.02):
+            break
+
+    def _simplex_won():
+        return simplex_done.is_set() and simplex_result.get("status") in (
+            C.CUOPT_TERIMINATION_STATUS_OPTIMAL,
+            C.CUOPT_TERIMINATION_STATUS_INFEASIBLE,
+            C.CUOPT_TERIMINATION_STATUS_UNBOUNDED,
+        )
+
+    if _simplex_won():
+        log.info("Concurrent: dual simplex finished first")
+        halt.value = 1
+        return simplex_result
 
     # PDLP host loop with an early-exit check on the simplex event: reuse
     # the PdlpSolver internals chunk by chunk.
