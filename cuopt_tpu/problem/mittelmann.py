@@ -196,41 +196,34 @@ def degenerate_transport(n_src=400, n_dst=400, seed=0):
     rng = np.random.default_rng(seed)
     S, D = n_src, n_dst
     sup = rng.integers(5, 50, S).astype(float)
-    # only k nearest destinations reachable per source (sparse)
-    k = max(8, D // 20)
+    # only k nearest destinations reachable per source (sparse); k is
+    # CAPPED so columns stay O(S) at 100k-row scale (D//20 alone gives
+    # S*D/20 arcs — 125M columns at S=D=50k, unbuildable)
+    k = int(max(8, min(40, D // 20)))
+    ds = (np.arange(S)[:, None] + np.arange(k)[None, :]) % D  # (S, k)
     # Demands are the inflows of an explicit random feasible flow over
     # the REACHABLE arcs — dirichlet demands drawn independently of the
     # sparse reachability violated the interval Hall condition on some
-    # seeds (seed 3 at scale 800: a 172-destination interval needed
-    # 5430 against 5067 reachable supply), making the instance
-    # infeasible while the benchmarks expected OPTIMAL.
-    dem = np.zeros(D)
-    for s in range(S):
-        ds = (np.arange(s, s + k) % D)
-        w = rng.dirichlet(np.ones(k))
-        flow = np.floor(w * sup[s])
-        flow[0] += sup[s] - flow.sum()
-        np.add.at(dem, ds, flow)
-    rr, cc, vv = [], [], []
-    col = 0
-    cols_of = []
-    costs = []
-    for s in range(S):
-        ds = (np.arange(s, s + k) % D)
-        for d in ds:
-            rr += [s, S + d]
-            cc += [col, col]
-            vv += [1.0, 1.0]
-            # clustered costs: few distinct values
-            costs.append(float(rng.integers(1, 6)))
-            col += 1
-        cols_of.append(ds)
+    # seeds (seed 3 at 400x400: a 172-destination interval needed 5430
+    # against 5067 reachable supply), making the instance infeasible
+    # while the benchmark gates expected OPTIMAL.
+    w = rng.dirichlet(np.ones(k), size=S)                     # (S, k)
+    flow = np.floor(w * sup[:, None])
+    flow[:, 0] += sup - flow.sum(axis=1)
+    dem = np.bincount(ds.ravel(), weights=flow.ravel(), minlength=D)
+    n = S * k
+    rr = np.empty(2 * n, np.int64)
+    rr[0::2] = np.repeat(np.arange(S), k)
+    rr[1::2] = S + ds.ravel()
+    cc = np.repeat(np.arange(n), 2)
+    vv = np.ones(2 * n)
+    # clustered costs: few distinct values -> massive dual degeneracy
+    costs = rng.integers(1, 6, n).astype(float)
     rows_lo = np.concatenate([sup, dem])
     rows_up = np.concatenate([sup, np.full(D, np.inf)])
-    n = col
     return _problem(
         rows_lo, rows_up, np.zeros(n), np.full(n, np.inf),
-        np.asarray(costs), rr, cc, vv,
+        costs, rr, cc, vv,
     )
 
 
