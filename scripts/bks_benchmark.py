@@ -92,12 +92,58 @@ def run_real(root, time_limit):
 REPO_REF = "/root/reference"
 
 
+GH_BKS_CSV = ("/root/reference/datasets/ref/"
+              "bks_gehring_homberger.csv")
+
+
+def published_class_stats():
+    """Per-(class, size) statistics of the PUBLISHED Gehring-Homberger
+    best-known solutions (the csv ships with the reference tree even
+    offline): mean cost per customer and vehicles per 100 customers.
+    Synthetic instances are not comparable instance-for-instance, but
+    these bands anchor the CLASS — a solver whose per-customer cost sits
+    far outside them is broken regardless of the synthetic baseline
+    (VERDICT r04 weak #3: the self-referential 0.0% gap proves only
+    non-regression)."""
+    import csv
+    import re
+
+    if not os.path.exists(GH_BKS_CSV):
+        return {}
+    agg = {}
+    with open(GH_BKS_CSV) as f:
+        for row in csv.DictReader(f):
+            m = re.match(r"(C|R|RC)[12]_(\d+)_", row["Instance"])
+            if not m:
+                continue
+            kind, size = m.group(1), int(m.group(2)) * 100
+            k = (kind, size)
+            agg.setdefault(k, []).append(
+                (float(row["BKS_Cost"]), int(row["BKS_NumVehicles"]))
+            )
+    out = {}
+    for (kind, size), rows in agg.items():
+        costs = [c / size for c, _ in rows]
+        vehs = [100.0 * v / size for _, v in rows]
+        out[f"{kind}_{size}"] = {
+            "instances": len(rows),
+            "bks_cost_per_customer_mean": round(
+                sum(costs) / len(costs), 3),
+            "bks_cost_per_customer_range": [round(min(costs), 3),
+                                            round(max(costs), 3)],
+            "bks_vehicles_per_100_mean": round(
+                sum(vehs) / len(vehs), 2),
+        }
+    return out
+
+
 def run_synth(time_limit, record, classes=None):
     from cuopt_tpu.io.vrp import synth_gh_instance
 
     baseline = {}
     if os.path.exists(BASELINE_PATH):
         baseline = json.load(open(BASELINE_PATH))
+    pub = published_class_stats()
     results = []
     for kind, n, seed in (classes or SYNTH_SET):
         inst = synth_gh_instance(n, kind, seed)
@@ -106,6 +152,12 @@ def run_synth(time_limit, record, classes=None):
             best = baseline[inst.name]["cost"]
             r["best_recorded_cost"] = best
             r["gap_pct"] = round(100 * (r["cost"] - best) / best, 2)
+        if r.get("status") == 0 and r.get("cost"):
+            r["cost_per_customer"] = round(r["cost"] / n, 3)
+            r["vehicles_per_100"] = round(100.0 * r["vehicles"] / n, 2)
+            ctx = pub.get(f"{kind}_{n}")
+            if ctx:
+                r["published_class_context"] = ctx
         results.append(r)
         print(json.dumps(r), flush=True)
     if record:
